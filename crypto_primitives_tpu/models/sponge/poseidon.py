@@ -1,0 +1,544 @@
+"""Poseidon permutation, duplex sponge, and default parameter derivation.
+
+Twin of /root/reference/crypto-primitives/src/sponge/poseidon/{mod.rs,traits.rs}.
+
+Two tiers (SURVEY.md §7.2):
+  * ``PoseidonSponge`` — host oracle over python ints, a line-for-line
+    behavioral mirror of the reference duplex bookkeeping **including its
+    squeeze-at-rate-boundary permutation-skip quirk**
+    (src/sponge/poseidon/tests.rs:12-65); used as the parity oracle and for
+    setup-time hashing.
+  * ``PoseidonSpongeBatch`` — the TPU path: state is a (batch, t, L) uint32
+    Montgomery limb array; absorb/squeeze schedules are static at trace time
+    so the whole duplex computation jit-compiles to pure array ops with
+    `lax.scan` over rounds.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from crypto_primitives_tpu.models.sponge.grain_lfsr import PoseidonGrainLFSR
+from crypto_primitives_tpu.ops import field as ff
+from crypto_primitives_tpu.ops.field import FieldSpec
+
+
+@dataclasses.dataclass
+class PoseidonConfig:
+    """Round constants/MDS over python ints (host canonical form).
+
+    Mirrors `PoseidonConfig` (src/sponge/poseidon/mod.rs:27-45); the device
+    representation is obtained via :meth:`packed`.
+    """
+
+    field: FieldSpec
+    full_rounds: int
+    partial_rounds: int
+    alpha: int
+    ark: list  # [full+partial][t] ints
+    mds: list  # [t][t] ints
+    rate: int
+    capacity: int
+
+    def __post_init__(self):
+        t = self.rate + self.capacity
+        assert len(self.ark) == self.full_rounds + self.partial_rounds
+        assert all(len(row) == t for row in self.ark)
+        assert len(self.mds) == t and all(len(row) == t for row in self.mds)
+
+    @property
+    def t(self) -> int:
+        return self.rate + self.capacity
+
+    @functools.cache
+    def packed(self) -> "PackedPoseidon":
+        spec = self.field
+        rf2 = self.full_rounds // 2
+        ark = np.asarray(spec.pack(self.ark))  # (rounds, t, L) Montgomery
+        return PackedPoseidon(
+            config=self,
+            ark_full1=jnp.asarray(ark[:rf2]),
+            ark_partial=jnp.asarray(ark[rf2 : rf2 + self.partial_rounds]),
+            ark_full2=jnp.asarray(ark[rf2 + self.partial_rounds :]),
+            mds=jnp.asarray(spec.pack(self.mds)),
+        )
+
+    def __hash__(self):
+        return id(self)
+
+    def __eq__(self, other):
+        return self is other
+
+
+@dataclasses.dataclass(eq=False)
+class PackedPoseidon:
+    """Device-resident constant tables (Montgomery limbs), replicated."""
+
+    config: PoseidonConfig
+    ark_full1: jnp.ndarray  # (R_F/2, t, L)
+    ark_partial: jnp.ndarray  # (R_P, t, L)
+    ark_full2: jnp.ndarray  # (R_F/2, t, L)
+    mds: jnp.ndarray  # (t, t, L)
+
+    def __hash__(self):
+        return id(self)
+
+
+# ----------------------------------------------------------------------
+# Device permutation (the inner hot loop everywhere — SURVEY.md §3.3)
+# ----------------------------------------------------------------------
+
+
+def _round(spec: FieldSpec, alpha: int, mds, state, ark_row, full: bool):
+    """ark -> s-box -> MDS, exactly the reference round order
+    (src/sponge/poseidon/mod.rs:98-121)."""
+    state = ff.add(spec, state, ark_row)
+    if full:
+        state = ff.pow_const(spec, state, alpha)
+    else:
+        x0 = ff.pow_const(spec, state[..., 0:1, :], alpha)
+        state = jnp.concatenate([x0, state[..., 1:, :]], axis=-2)
+    # MDS: new[i] = sum_j mds[i][j] * state[j] with one lazy Montgomery
+    # reduction per output element (mont_dot) — t*t limb-products ride the VPU.
+    t = state.shape[-2]
+    s_b = jnp.broadcast_to(state[..., None, :, :], state.shape[:-2] + (t, t, state.shape[-1]))
+    return ff.mont_dot(spec, mds, s_b)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def permute(spec: FieldSpec, packed: PackedPoseidon, state: jnp.ndarray) -> jnp.ndarray:
+    """Apply the Poseidon permutation to ``state`` of shape (..., t, L).
+
+    Full/partial round phases are `lax.scan`s over the ark tables, so the
+    traced program is three small round bodies regardless of round count.
+    """
+    cfg = packed.config
+    alpha, mds = cfg.alpha, packed.mds
+
+    def full_body(s, ark_row):
+        return _round(spec, alpha, mds, s, ark_row, True), None
+
+    def partial_body(s, ark_row):
+        return _round(spec, alpha, mds, s, ark_row, False), None
+
+    state, _ = jax.lax.scan(full_body, state, packed.ark_full1)
+    state, _ = jax.lax.scan(partial_body, state, packed.ark_partial)
+    state, _ = jax.lax.scan(full_body, state, packed.ark_full2)
+    return state
+
+
+class PoseidonSpongeBatch:
+    """Batched duplex sponge on device; static absorb/squeeze schedule.
+
+    The duplex mode bookkeeping (absorb/squeeze indices) is *python-level*
+    state because input/output lengths are static under jit — so it traces
+    away entirely, leaving a fixed sequence of adds/permutes (the TPU
+    re-expression of src/sponge/poseidon/mod.rs:124-186).  All methods mirror
+    the reference's exact permutation scheduling, quirk included.
+    """
+
+    def __init__(self, config: PoseidonConfig, batch_shape=(), state=None):
+        self.config = config
+        self.spec = config.field
+        self.packed = config.packed()
+        self.batch_shape = tuple(batch_shape)
+        if state is None:
+            state = ff.zeros(self.spec, self.batch_shape + (config.t,))
+        self.state = state
+        self.mode = "absorbing"
+        self.index = 0  # next_absorb_index or next_squeeze_index
+
+    # -- state import/export (SpongeExt twin, src/sponge/mod.rs:184-191) --
+    def into_state(self):
+        return {"state": self.state, "mode": self.mode, "index": self.index}
+
+    @classmethod
+    def from_state(cls, st, config: PoseidonConfig):
+        sponge = cls(config, batch_shape=st["state"].shape[:-2], state=st["state"])
+        sponge.mode, sponge.index = st["mode"], st["index"]
+        return sponge
+
+    def _permute(self):
+        self.state = permute(self.spec, self.packed, self.state)
+
+    def _absorb_internal(self, rate_start: int, elems: jnp.ndarray):
+        """elems: (..., k, L) Montgomery; mirrors absorb_internal
+        (src/sponge/poseidon/mod.rs:124-153)."""
+        rate, cap = self.config.rate, self.config.capacity
+        k = elems.shape[-2]
+        pos = 0
+        while True:
+            remaining = k - pos
+            if rate_start + remaining <= rate:
+                self.state = self.state.at[
+                    ..., cap + rate_start : cap + rate_start + remaining, :
+                ].set(
+                    ff.add(
+                        self.spec,
+                        self.state[..., cap + rate_start : cap + rate_start + remaining, :],
+                        elems[..., pos:, :],
+                    )
+                )
+                self.mode, self.index = "absorbing", rate_start + remaining
+                return
+            n = rate - rate_start
+            self.state = self.state.at[..., cap + rate_start : cap + rate, :].set(
+                ff.add(
+                    self.spec,
+                    self.state[..., cap + rate_start : cap + rate, :],
+                    elems[..., pos : pos + n, :],
+                )
+            )
+            self._permute()
+            pos += n
+            rate_start = 0
+
+    def absorb(self, elems: jnp.ndarray):
+        """Absorb field elements of shape (..., k, L) (Montgomery form)."""
+        if elems.shape[-2] == 0:
+            return
+        if self.mode == "absorbing":
+            idx = self.index
+            if idx == self.config.rate:
+                self._permute()
+                idx = 0
+            self._absorb_internal(idx, elems)
+        else:
+            self._absorb_internal(0, elems)
+
+    def _squeeze_internal(self, rate_start: int, n: int) -> jnp.ndarray:
+        """Mirrors squeeze_internal (src/sponge/poseidon/mod.rs:156-186),
+        including the no-permute-on-exact-boundary behavior."""
+        rate, cap = self.config.rate, self.config.capacity
+        outs = []
+        remaining = n
+        while True:
+            if rate_start + remaining <= rate:
+                outs.append(self.state[..., cap + rate_start : cap + rate_start + remaining, :])
+                self.mode, self.index = "squeezing", rate_start + remaining
+                return jnp.concatenate(outs, axis=-2)
+            k = rate - rate_start
+            outs.append(self.state[..., cap + rate_start : cap + rate, :])
+            remaining -= k
+            if remaining > 0:
+                self._permute()
+            rate_start = 0
+
+    def squeeze_native_field_elements(self, n: int) -> jnp.ndarray:
+        """Returns (..., n, L) Montgomery limbs; mirrors
+        squeeze_native_field_elements (src/sponge/poseidon/mod.rs:324-344)."""
+        if self.mode == "absorbing":
+            self._permute()
+            return self._squeeze_internal(0, n)
+        idx = self.index
+        if idx == self.config.rate:
+            self._permute()
+            idx = 0
+        return self._squeeze_internal(idx, n)
+
+
+# ----------------------------------------------------------------------
+# Host oracle sponge (python ints, exact reference semantics)
+# ----------------------------------------------------------------------
+
+
+class PoseidonSponge:
+    """Host-side duplex sponge over python ints (the parity oracle)."""
+
+    def __init__(self, config: PoseidonConfig):
+        self.config = config
+        self.p = config.field.p
+        self.state = [0] * config.t
+        self.mode = "absorbing"
+        self.index = 0
+
+    def clone(self) -> "PoseidonSponge":
+        s = PoseidonSponge(self.config)
+        s.state = list(self.state)
+        s.mode, s.index = self.mode, self.index
+        return s
+
+    # SpongeExt twin
+    def into_state(self):
+        return (list(self.state), self.mode, self.index)
+
+    @classmethod
+    def from_state(cls, state, config):
+        s = cls(config)
+        s.state, s.mode, s.index = list(state[0]), state[1], state[2]
+        return s
+
+    def permute(self):
+        cfg, p = self.config, self.p
+        state = list(self.state)
+        rf2 = cfg.full_rounds // 2
+
+        def rnd(i, full):
+            nonlocal state
+            state = [(s + a) % p for s, a in zip(state, cfg.ark[i])]
+            if full:
+                state = [pow(s, cfg.alpha, p) for s in state]
+            else:
+                state[0] = pow(state[0], cfg.alpha, p)
+            state = [
+                sum(m * s for m, s in zip(row, state)) % p for row in cfg.mds
+            ]
+
+        for i in range(rf2):
+            rnd(i, True)
+        for i in range(rf2, rf2 + cfg.partial_rounds):
+            rnd(i, False)
+        for i in range(rf2 + cfg.partial_rounds, cfg.partial_rounds + cfg.full_rounds):
+            rnd(i, True)
+        self.state = state
+
+    def _absorb_internal(self, rate_start: int, elems: Sequence[int]):
+        cfg = self.config
+        pos = 0
+        while True:
+            remaining = len(elems) - pos
+            if rate_start + remaining <= cfg.rate:
+                for i in range(remaining):
+                    self.state[cfg.capacity + rate_start + i] = (
+                        self.state[cfg.capacity + rate_start + i] + elems[pos + i]
+                    ) % self.p
+                self.mode, self.index = "absorbing", rate_start + remaining
+                return
+            n = cfg.rate - rate_start
+            for i in range(n):
+                self.state[cfg.capacity + rate_start + i] = (
+                    self.state[cfg.capacity + rate_start + i] + elems[pos + i]
+                ) % self.p
+            self.permute()
+            pos += n
+            rate_start = 0
+
+    def absorb_elements(self, elems: Sequence[int]):
+        """Absorb raw field elements (already encoded)."""
+        if not elems:
+            return
+        if self.mode == "absorbing":
+            idx = self.index
+            if idx == self.config.rate:
+                self.permute()
+                idx = 0
+            self._absorb_internal(idx, elems)
+        else:
+            self._absorb_internal(0, elems)
+
+    def absorb(self, value):
+        """Absorb any encodable value (see models/sponge/absorb.py)."""
+        from crypto_primitives_tpu.models.sponge.absorb import to_sponge_field_elements
+
+        self.absorb_elements(to_sponge_field_elements(value, self.config.field))
+
+    def _squeeze_internal(self, rate_start: int, n: int) -> list:
+        cfg = self.config
+        out = []
+        remaining = n
+        while True:
+            if rate_start + remaining <= cfg.rate:
+                out.extend(
+                    self.state[cfg.capacity + rate_start : cfg.capacity + rate_start + remaining]
+                )
+                self.mode, self.index = "squeezing", rate_start + remaining
+                return out
+            k = cfg.rate - rate_start
+            out.extend(self.state[cfg.capacity + rate_start : cfg.capacity + cfg.rate])
+            remaining -= k
+            if remaining > 0:
+                self.permute()
+            rate_start = 0
+
+    def squeeze_native_field_elements(self, n: int) -> list:
+        if self.mode == "absorbing":
+            self.permute()
+            return self._squeeze_internal(0, n)
+        idx = self.index
+        if idx == self.config.rate:
+            self.permute()
+            idx = 0
+        return self._squeeze_internal(idx, n)
+
+    def squeeze_bytes(self, num_bytes: int) -> bytes:
+        """src/sponge/poseidon/mod.rs:259-273."""
+        spec = self.config.field
+        usable_bytes = (spec.nbits - 1) // 8
+        num_elements = -(-num_bytes // usable_bytes)
+        elems = self.squeeze_native_field_elements(num_elements)
+        out = b"".join(spec.to_bytes_le(e)[:usable_bytes] for e in elems)
+        return out[:num_bytes]
+
+    def squeeze_bits(self, num_bits: int) -> list:
+        """src/sponge/poseidon/mod.rs:275-289 (LE bit order per element)."""
+        spec = self.config.field
+        usable_bits = spec.nbits - 1
+        num_elements = -(-num_bits // usable_bits)
+        elems = self.squeeze_native_field_elements(num_elements)
+        bits = []
+        for e in elems:
+            bits.extend(bool((e >> i) & 1) for i in range(usable_bits))
+        return bits[:num_bits]
+
+    def squeeze_field_elements_with_sizes(self, target_spec: FieldSpec, sizes) -> list:
+        """Cross-field squeeze via bit truncation
+        (src/sponge/mod.rs:57-96; sizes are FieldElementSize values)."""
+        from crypto_primitives_tpu.models.sponge import FieldElementSize
+
+        if target_spec.p == self.config.field.p:
+            return [
+                e % target_spec.p
+                for e in self._squeeze_native_with_sizes(sizes, target_spec)
+            ]
+        if not sizes:
+            return []
+        total_bits = sum(FieldElementSize.num_bits(s, target_spec) for s in sizes)
+        bits = self.squeeze_bits(total_bits)
+        out = []
+        window = 0
+        for s in sizes:
+            nb = FieldElementSize.num_bits(s, target_spec)
+            chunk = bits[window : window + nb]
+            window += nb
+            # bits (LE) -> bytes -> from_le_bytes_mod_order
+            value = 0
+            for j in range(0, len(chunk), 8):
+                byte = 0
+                for i, b in enumerate(chunk[j : j + 8]):
+                    byte |= int(b) << i
+                value |= byte << j
+            out.append(value % target_spec.p)
+        return out
+
+    def _squeeze_native_with_sizes(self, sizes, spec) -> list:
+        from crypto_primitives_tpu.models.sponge import FieldElementSize
+
+        if all(s == FieldElementSize.FULL for s in sizes):
+            return self.squeeze_native_field_elements(len(sizes))
+        # default impl path even for native field
+        saved_field = self.config.field
+        if not sizes:
+            return []
+        total_bits = sum(FieldElementSize.num_bits(s, saved_field) for s in sizes)
+        bits = self.squeeze_bits(total_bits)
+        out = []
+        window = 0
+        for s in sizes:
+            nb = FieldElementSize.num_bits(s, saved_field)
+            chunk = bits[window : window + nb]
+            window += nb
+            value = 0
+            for j in range(0, len(chunk), 8):
+                byte = 0
+                for i, b in enumerate(chunk[j : j + 8]):
+                    byte |= int(b) << i
+                value |= byte << j
+            out.append(value % saved_field.p)
+        return out
+
+    def squeeze_field_elements(self, n: int, target_spec: Optional[FieldSpec] = None) -> list:
+        from crypto_primitives_tpu.models.sponge import FieldElementSize
+
+        if target_spec is None or target_spec.p == self.config.field.p:
+            return self.squeeze_native_field_elements(n)
+        return self.squeeze_field_elements_with_sizes(
+            target_spec, [FieldElementSize.FULL] * n
+        )
+
+    def fork(self, domain: bytes) -> "PoseidonSponge":
+        """Domain separation (src/sponge/mod.rs:145-153)."""
+        from crypto_primitives_tpu.models.sponge.absorb import Usize, to_sponge_bytes
+
+        new = self.clone()
+        inp = to_sponge_bytes(Usize(len(domain)), self.config.field) + bytes(domain)
+        new.absorb(inp)  # Vec<u8> semantics
+        return new
+
+
+# ----------------------------------------------------------------------
+# Default parameters (traits.rs twin)
+# ----------------------------------------------------------------------
+
+# (rate, alpha, full_rounds, partial_rounds, skip_matrices) tables for
+# BLS12-381 Fr, from the reference's in-tree instance
+# (/root/reference/crypto-primitives/src/sponge/test.rs:13-32).
+BLS12_381_FR_PARAMS_OPT_FOR_CONSTRAINTS = [
+    (2, 17, 8, 31, 0),
+    (3, 5, 8, 56, 0),
+    (4, 5, 8, 56, 0),
+    (5, 5, 8, 57, 0),
+    (6, 5, 8, 57, 0),
+    (7, 5, 8, 57, 0),
+    (8, 5, 8, 57, 0),
+]
+BLS12_381_FR_PARAMS_OPT_FOR_WEIGHTS = [
+    (2, 257, 8, 13, 0),
+    (3, 257, 8, 13, 0),
+    (4, 257, 8, 13, 0),
+    (5, 257, 8, 13, 0),
+    (6, 257, 8, 13, 0),
+    (7, 257, 8, 13, 0),
+    (8, 257, 8, 13, 0),
+]
+
+_DEFAULT_PARAM_TABLES = {
+    "bls12_381_fr": (
+        BLS12_381_FR_PARAMS_OPT_FOR_CONSTRAINTS,
+        BLS12_381_FR_PARAMS_OPT_FOR_WEIGHTS,
+    ),
+}
+
+
+def find_poseidon_ark_and_mds(
+    spec: FieldSpec,
+    rate: int,
+    full_rounds: int,
+    partial_rounds: int,
+    skip_matrices: int,
+):
+    """Derive (ark, mds) from the Grain LFSR; mds is the Cauchy matrix
+    1/(x_i + y_j) (src/sponge/poseidon/traits.rs:105-146)."""
+    p = spec.p
+    t = rate + 1
+    lfsr = PoseidonGrainLFSR(False, spec.nbits, t, full_rounds, partial_rounds)
+    ark = [
+        lfsr.get_field_elements_rejection_sampling(p, t)
+        for _ in range(full_rounds + partial_rounds)
+    ]
+    for _ in range(skip_matrices):
+        lfsr.get_field_elements_mod_p(p, 2 * t)
+    xs = lfsr.get_field_elements_mod_p(p, t)
+    ys = lfsr.get_field_elements_mod_p(p, t)
+    mds = [[pow((x + y) % p, -1, p) for y in ys] for x in xs]
+    return ark, mds
+
+
+@functools.cache
+def get_default_poseidon_parameters(
+    spec: FieldSpec, rate: int, optimized_for_weights: bool = False
+) -> Optional[PoseidonConfig]:
+    """traits.rs:69-102 twin (capacity always 1)."""
+    tables = _DEFAULT_PARAM_TABLES.get(spec.name)
+    if tables is None:
+        return None
+    params_set = tables[1] if optimized_for_weights else tables[0]
+    for (r, alpha, full_r, partial_r, skip) in params_set:
+        if r == rate:
+            ark, mds = find_poseidon_ark_and_mds(spec, rate, full_r, partial_r, skip)
+            return PoseidonConfig(
+                field=spec,
+                full_rounds=full_r,
+                partial_rounds=partial_r,
+                alpha=alpha,
+                ark=ark,
+                mds=mds,
+                rate=rate,
+                capacity=1,
+            )
+    return None

@@ -79,6 +79,8 @@ class FieldSpec:
         self.R2_mod_p = (self.R * self.R) % modulus
         # n0 = -p^{-1} mod 2^16 (per-digit Montgomery factor)
         self.n0 = (-pow(modulus, -1, 1 << LIMB_BITS)) % (1 << LIMB_BITS)
+        # n' = -p^{-1} mod R (full-width Montgomery factor)
+        self.n_prime = (-pow(modulus, -1, self.R)) % self.R
         # Serialized byte length of into_bigint().to_bytes_le() (full limbs)
         self.bigint_bytes = (L * LIMB_BITS) // 8
         # arkworks serialize_compressed size for Fp with no flags:
@@ -88,6 +90,7 @@ class FieldSpec:
         self.p_limbs = _int_to_limbs(modulus, L)
         self.r_limbs = _int_to_limbs(self.R_mod_p, L)
         self.r2_limbs = _int_to_limbs(self.R2_mod_p, L)
+        self.n_prime_limbs = _int_to_limbs(self.n_prime, L)
         self.zero_limbs = np.zeros((L,), dtype=np.uint32)
 
     # -- identity hashing so the spec can be a static argument under jit --
@@ -181,35 +184,72 @@ def ones(spec: FieldSpec, shape=()) -> jnp.ndarray:
     return jnp.broadcast_to(one, shape + (spec.num_limbs,))
 
 
-def _carry_propagate(acc: jnp.ndarray, out_limbs: int) -> jnp.ndarray:
+def _shift_up(x: jnp.ndarray, s: int) -> jnp.ndarray:
+    """Shift limbs toward higher indices by s (zero-fill), last axis."""
+    if s == 0:
+        return x
+    pad = jnp.zeros(x.shape[:-1] + (s,), dtype=x.dtype)
+    return jnp.concatenate([pad, x[..., : x.shape[-1] - s]], axis=-1)
+
+
+def _prefix_carry(g: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
+    """Kogge–Stone parallel-prefix over the carry semigroup.
+
+    g[..., i]: position i *generates* a carry; p[..., i]: it *propagates* one.
+    Returns co with co[..., i] = carry out of position i (inclusive scan).
+    Log-depth instead of a ripple chain — this is what keeps both XLA compile
+    time and the TPU critical path short (SURVEY.md §7 hard-parts (1)).
+    """
+    K = g.shape[-1]
+    s = 1
+    while s < K:
+        g = g | (p & _shift_up(g, s))
+        p = p & _shift_up(p, s)
+        s *= 2
+    return g
+
+
+def _carry_canon(acc: jnp.ndarray, out_limbs: int, return_carry: bool = False):
     """Collapse relaxed uint32 base-2^16 digits into canonical 16-bit limbs.
 
-    ``acc`` has shape (..., K) with each entry < 2^32; returns (..., out_limbs)
-    canonical digits, discarding any carry past the top (callers guarantee the
-    value fits).
+    ``acc``: (..., K), entries < 2^32.  Two compression passes bring digits
+    to <= 2^16, then a log-depth prefix resolves the remaining single-bit
+    ripple.  Any carry beyond ``out_limbs`` is dropped unless requested.
     """
-    outs = []
-    carry = jnp.zeros(acc.shape[:-1], dtype=jnp.uint32)
     K = acc.shape[-1]
-    for i in range(out_limbs):
-        v = (acc[..., i] if i < K else jnp.zeros_like(carry)) + carry
-        outs.append(v & LIMB_MASK)
-        carry = v >> LIMB_BITS
-    return jnp.stack(outs, axis=-1)
+    if K < out_limbs:
+        acc = jnp.concatenate(
+            [acc, jnp.zeros(acc.shape[:-1] + (out_limbs - K,), dtype=jnp.uint32)],
+            axis=-1,
+        )
+    elif K > out_limbs:
+        # callers must not drop nonzero high digits implicitly
+        acc = acc[..., :out_limbs]
+    # pass 1: digits < 2^17
+    acc = (acc & LIMB_MASK) + _shift_up(acc >> LIMB_BITS, 1)
+    # pass 2: digits <= 2^16
+    acc = (acc & LIMB_MASK) + _shift_up(acc >> LIMB_BITS, 1)
+    g = acc > LIMB_MASK  # digit == 2^16 exactly
+    p = acc == LIMB_MASK
+    co = _prefix_carry(g, p)
+    carry_in = _shift_up(co.astype(jnp.uint32), 1)
+    out = (acc + carry_in) & LIMB_MASK
+    if return_carry:
+        return out, co[..., -1].astype(jnp.uint32)
+    return out
 
 
 def _sub_limbs(a: jnp.ndarray, b: jnp.ndarray):
-    """a - b over canonical limbs; returns (diff, borrow_out) with borrow in {0,1}."""
-    outs = []
-    borrow = jnp.zeros(a.shape[:-1], dtype=jnp.uint32)
-    L = a.shape[-1]
-    for i in range(L):
-        # v in [-(2^16), 2^16); compute in uint32 with wraparound then mask
-        v = a[..., i] - b[..., i] - borrow
-        outs.append(v & LIMB_MASK)
-        # borrow iff a_i < b_i + borrow_in, i.e. the uint32 subtraction wrapped
-        borrow = jnp.where(v >> 31, jnp.uint32(1), jnp.uint32(0))
-    return jnp.stack(outs, axis=-1), borrow
+    """a - b over canonical limbs; returns (diff, borrow_out), borrow in {0,1}.
+
+    Borrow resolution is the same log-depth prefix as addition.
+    """
+    g = a < b  # generates a borrow
+    p = a == b  # propagates a borrow
+    bo = _prefix_carry(g, p)
+    borrow_in = _shift_up(bo.astype(jnp.uint32), 1)
+    out = (a - b - borrow_in) & LIMB_MASK
+    return out, bo[..., -1].astype(jnp.uint32)
 
 
 def _geq(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
@@ -227,16 +267,13 @@ def _cond_sub_p(spec: FieldSpec, a: jnp.ndarray) -> jnp.ndarray:
 
 
 def add(spec: FieldSpec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """Modular addition (works identically for Montgomery or standard form)."""
+    """Modular addition (works identically for Montgomery or standard form).
+
+    All supported fields have nbits <= 16L - 1, so a + b < 2^(16L) and no
+    carry escapes the top limb.
+    """
     a, b = jnp.broadcast_arrays(a, b)
-    acc = a + b  # per-limb < 2^17
-    s = _carry_propagate(acc, spec.num_limbs)
-    # sum < 2p and fits in L limbs only if top limb has headroom; for our
-    # fields nbits <= 16L - 0 ... a+b can exceed 16L bits? a,b < p < 2^(16L),
-    # a+b < 2^(16L+1).  Compute the dropped carry explicitly:
-    # p < 2^(16L) and a,b < p, so a+b < 2p < 2^(nbits+1) <= 2^(16L)+...  To be
-    # safe for nbits == 16L we'd need the carry; all supported fields have
-    # nbits <= 16L - 1 so a+b < 2^(16L) and no carry is lost.
+    s = _carry_canon(a + b, spec.num_limbs)
     return _cond_sub_p(spec, s)
 
 
@@ -245,7 +282,7 @@ def sub(spec: FieldSpec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     p_limbs, _, _ = _consts(spec)
     d, borrow = _sub_limbs(a, b)
     # if borrowed, add p back: d2 = d + p (mod 2^(16L)) is the right value
-    dp = _carry_propagate(d + p_limbs, spec.num_limbs)
+    dp = _carry_canon(d + p_limbs, spec.num_limbs)
     return jnp.where((borrow != 0)[..., None], dp, d)
 
 
@@ -253,55 +290,84 @@ def neg(spec: FieldSpec, a: jnp.ndarray) -> jnp.ndarray:
     return sub(spec, zeros(spec, a.shape[:-1]), a)
 
 
+@functools.cache
+def _band_matrix(L: int) -> np.ndarray:
+    """Fixed anti-diagonal accumulation matrix for schoolbook products.
+
+    Maps flattened (lo || hi) half-products of an LxL schoolbook onto 2L+1
+    relaxed base-2^16 digits: digit k collects lo[i,j] with i+j == k and
+    hi[i,j] with i+j == k-1.  Shape (2*L*L, 2L+1), f32 0/1 — the whole
+    accumulation becomes ONE matmul, which XLA maps straight onto the MXU
+    (f32 is exact here: every accumulated value < 2^21 < 2^24).
+    """
+    M = np.zeros((2 * L * L, 2 * L + 1), dtype=np.float32)
+    for i in range(L):
+        for j in range(L):
+            M[i * L + j, i + j] = 1.0  # lo part
+            M[L * L + i * L + j, i + j + 1] = 1.0  # hi part
+    return M
+
+
 def _schoolbook_acc(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Relaxed schoolbook product accumulator.
 
     a, b: (..., L) canonical 16-bit limbs.  Returns (..., 2L+1) uint32 relaxed
-    digits (base 2^16) of a*b.  Each digit < 2L * 2^16 <= 2^21 for L=16.
+    digits (base 2^16) of a*b; each digit < 2L * 2^16 <= 2^21 for L=16.
+    The anti-diagonal gather is a single f32 matmul against a fixed banded
+    matrix (MXU-friendly; exact since values < 2^24).
     """
     L = a.shape[-1]
     prod = a[..., :, None] * b[..., None, :]  # (..., L, L) exact in uint32
-    lo = prod & LIMB_MASK
-    hi = prod >> LIMB_BITS
-    acc = jnp.zeros(a.shape[:-1] + (2 * L + 1,), dtype=jnp.uint32)
-    for i in range(L):
-        acc = acc.at[..., i : i + L].add(lo[..., i, :])
-        acc = acc.at[..., i + 1 : i + L + 1].add(hi[..., i, :])
-    return acc
+    lo = (prod & LIMB_MASK).astype(jnp.float32)
+    hi = (prod >> LIMB_BITS).astype(jnp.float32)
+    v = jnp.concatenate(
+        [lo.reshape(*prod.shape[:-2], L * L), hi.reshape(*prod.shape[:-2], L * L)],
+        axis=-1,
+    )
+    M = jnp.asarray(_band_matrix(L))
+    acc = jax.lax.dot_general(
+        v,
+        M,
+        (((v.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,  # full-f32 passes: exact < 2^24
+    )
+    return acc.astype(jnp.uint32)
+
+
+def _mul_mod_r(a: jnp.ndarray, b_limbs: jnp.ndarray) -> jnp.ndarray:
+    """(a * b) mod R as canonical limbs; a canonical (..., L), b constant (L,)."""
+    L = a.shape[-1]
+    acc = _schoolbook_acc(a, jnp.broadcast_to(b_limbs, a.shape))
+    return _carry_canon(acc, L)  # truncation to L limbs == mod R
 
 
 def _mont_reduce(spec: FieldSpec, acc: jnp.ndarray, num_products: int = 1) -> jnp.ndarray:
-    """Word-by-word Montgomery reduction of a relaxed (..., >=2L) accumulator.
+    """Full-width Montgomery reduction of a relaxed (..., 2L+1) accumulator.
 
-    ``num_products`` is the number of full-width schoolbook products summed
-    into ``acc`` (1 for a plain product, K for a K-term lazy dot).  The
-    pre-reduction value is < K * p^2, so the Montgomery quotient is
-    u < K*p^2/R + p <= (K/2 + 1) * p  (all supported moduli have p < R/2).
-    We therefore keep L+1 result limbs and subtract descending power-of-two
-    multiples of p branchlessly.
+    Uses the single-shot formulation  m = (T mod R) * n' mod R,
+    u = (T + m*p) / R  with n' = -p^{-1} mod R — three banded-matmul
+    schoolbook products and log-depth carries, no sequential limb loop.
 
-    Requires every relaxed digit < ~2^26 (callers stay far below).  Returns
-    canonical limbs of acc * R^{-1} mod p, fully reduced (< p).
+    ``num_products`` = number of schoolbook products summed into ``acc``
+    (1 for a plain product, K for a K-term lazy dot): u < (K/2 + 1) * p,
+    handled by descending power-of-two conditional subtractions.
+    Returns canonical limbs of acc * R^{-1} mod p, fully reduced (< p).
     """
     L = spec.num_limbs
     p_limbs, _, _ = _consts(spec)
-    n0 = jnp.uint32(spec.n0)
+    t_low = _carry_canon(acc, L)  # T mod R, canonical
+    m = _mul_mod_r(t_low, jnp.asarray(spec.n_prime_limbs))  # (..., L)
+    mp = _schoolbook_acc(m, jnp.broadcast_to(p_limbs, m.shape))  # (..., 2L+1)
     K = acc.shape[-1]
     if K < 2 * L + 1:
         acc = jnp.concatenate(
             [acc, jnp.zeros(acc.shape[:-1] + (2 * L + 1 - K,), dtype=jnp.uint32)],
             axis=-1,
         )
-    for k in range(L):
-        m = (acc[..., k] * n0) & LIMB_MASK  # low 16 bits exact despite wraparound
-        prod = m[..., None] * p_limbs  # (..., L) < 2^32 exact
-        acc = acc.at[..., k : k + L].add(prod & LIMB_MASK)
-        acc = acc.at[..., k + 1 : k + L + 1].add(prod >> LIMB_BITS)
-        # limb k is now == 0 mod 2^16; fold its carry into limb k+1
-        acc = acc.at[..., k + 1].add(acc[..., k] >> LIMB_BITS)
-    # u < (K/2 + 1) p over L+1 limbs
-    u = _carry_propagate(acc[..., L : 2 * L + 1], L + 1)
-    max_mult = num_products // 2 + 1  # u < (max_mult + ... ) * p, u/p <= max_mult
+    u_full = _carry_canon(acc + mp, 2 * L + 1)  # low L limbs are all zero
+    u = u_full[..., L:]  # (..., L+1), u < (K/2 + 1) p
+    max_mult = num_products // 2 + 1
     j = max(max_mult.bit_length() - 1, 0)
     while j >= 0:
         c = _int_to_limbs((spec.p << j), L + 1)

@@ -8,7 +8,9 @@ real TPU chip.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# NOTE: this environment pre-imports jax via sitecustomize and pins
+# JAX_PLATFORMS=axon (the TPU tunnel), so plain env vars are ignored; the
+# config update below is what actually forces the CPU backend for tests.
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -18,6 +20,9 @@ if "xla_force_host_platform_device_count" not in flags:
 import random
 
 import jax
+
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
 import pytest
 
