@@ -1,0 +1,99 @@
+"""Pedersen commitment: `Com(m; r) = PedersenCRH(m) + sum_j r_bits[j] * 2^j * h`.
+
+Twin of /root/reference/crypto-primitives/src/commitment/pedersen/mod.rs:
+`Parameters{randomness_generator (powers of h), generators}` (mod.rs:17-21);
+setup samples MODULUS_BIT_SIZE powers of a blinding base plus the CRH window
+tables (mod.rs:44-60); commit reuses the CRH for the message part then adds
+the blinding term over the randomness bits LE (mod.rs:62-105).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import List, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from crypto_primitives_tpu.models.crh.pedersen import (
+    PedersenCRH,
+    PedersenParameters,
+    Window,
+)
+from crypto_primitives_tpu.ops import curve as cv
+from crypto_primitives_tpu.ops.curve import TECurveSpec
+
+
+@dataclasses.dataclass(eq=False)
+class PedersenCommitmentParameters:
+    curve: TECurveSpec
+    randomness_generator: List[Tuple[int, int]]
+    generators: List[List[Tuple[int, int]]]
+
+    @functools.cache
+    def packed_randomness(self) -> jnp.ndarray:
+        return jnp.asarray(self.curve.pack_points(self.randomness_generator))
+
+    def crh_params(self) -> PedersenParameters:
+        if not hasattr(self, "_crh_params"):
+            self._crh_params = PedersenParameters(self.curve, self.generators)
+        return self._crh_params
+
+    def __hash__(self):
+        return id(self)
+
+
+class PedersenCommitment:
+    def __init__(self, curve: TECurveSpec, window: Window):
+        self.curve = curve
+        self.window = window
+        self.crh = PedersenCRH(curve, window)
+
+    def setup(self, rng) -> PedersenCommitmentParameters:
+        num_powers = self.curve.scalar.nbits  # MODULUS_BIT_SIZE (mod.rs:51)
+        randomness_generator = self.crh.generator_powers(num_powers, rng)
+        generators = self.crh.create_generators(rng)
+        return PedersenCommitmentParameters(self.curve, randomness_generator, generators)
+
+    def rand_randomness(self, rng) -> int:
+        return rng.randrange(self.curve.scalar.p)
+
+    def commit(self, params: PedersenCommitmentParameters, input_: bytes,
+               randomness: int) -> Tuple[int, int]:
+        """Host tier (mod.rs:62-105)."""
+        if len(input_) > self.window.window_size * self.window.num_windows:
+            raise ValueError(f"incorrect input length: {len(input_)}")
+        result = self.crh.evaluate(params.crh_params(), bytes(input_))
+        r = int(randomness)
+        for power in params.randomness_generator:
+            if r == 0:
+                break
+            if r & 1:
+                result = self.curve.add_host(result, power)
+            r >>= 1
+        return result
+
+    def commit_batch(self, params: PedersenCommitmentParameters, inputs: jnp.ndarray,
+                     randomness: jnp.ndarray) -> jnp.ndarray:
+        """inputs (..., nbytes) uint8; randomness (..., NB) bits LE (uint8).
+
+        Returns affine commitments (..., 2, L).
+        """
+        msg = self.crh.evaluate_batch_extended(params.crh_params(), inputs)
+        blind = cv.te_conditional_sum(
+            self.curve, params.packed_randomness(), randomness
+        )
+        return cv.te_to_affine(self.curve, cv.te_add(self.curve, msg, blind))
+
+    def randomness_to_bits(self, randomness) -> np.ndarray:
+        """Host scalars -> (..., nbits) LE bit array for commit_batch."""
+        arr = np.asarray(randomness, dtype=object)
+        flat = arr.reshape(-1)
+        nbits = self.curve.scalar.nbits
+        out = np.zeros((flat.shape[0], nbits), dtype=np.uint8)
+        for i, v in enumerate(flat):
+            v = int(v)
+            for j in range(nbits):
+                out[i, j] = (v >> j) & 1
+        return out.reshape(arr.shape + (nbits,))

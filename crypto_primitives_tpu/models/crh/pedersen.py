@@ -1,0 +1,186 @@
+"""Pedersen CRH over a twisted-Edwards group.
+
+Twin of /root/reference/crypto-primitives/src/crh/pedersen/mod.rs:
+`H(m) = sum_i <bits of window i> . 2^j . g_i` over precomputed per-window
+doubling tables (`generators[w][j] = 2^j * g_w`, mod.rs:48-56); input is
+bytes (LE bit order per byte, mod.rs:200-209), output an affine point;
+TwoToOne concatenates two equal halves into one buffer (mod.rs:158-182);
+`compress` serializes prior digests to uncompressed x||y bytes first
+(mod.rs:187-198).
+
+TPU re-design: the per-window bit/base conditional adds become one
+`te_conditional_sum` (select + log-depth complete-addition tree) over the
+flattened (NUM_WINDOWS * WINDOW_SIZE)-entry table, batched over messages.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import List, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from crypto_primitives_tpu.ops import curve as cv
+from crypto_primitives_tpu.ops.curve import TECurveSpec
+
+
+@dataclasses.dataclass(frozen=True)
+class Window:
+    """`pedersen::Window` twin (mod.rs:23-26)."""
+
+    window_size: int
+    num_windows: int
+
+
+@dataclasses.dataclass(eq=False)
+class PedersenParameters:
+    """`Parameters{generators}` (mod.rs:28-31); generators[w][j] host affine."""
+
+    curve: TECurveSpec
+    generators: List[List[Tuple[int, int]]]
+
+    @functools.cache
+    def packed_flat(self) -> jnp.ndarray:
+        """(num_windows * window_size, 4, L) extended, window-major."""
+        flat = [g for win in self.generators for g in win]
+        return jnp.asarray(self.curve.pack_points(flat))
+
+    def __hash__(self):
+        return id(self)
+
+
+def bytes_to_bits(data: bytes) -> List[bool]:
+    """LE bit order within each byte (mod.rs:200-209)."""
+    bits = []
+    for byte in data:
+        for i in range(8):
+            bits.append(bool((byte >> i) & 1))
+    return bits
+
+
+def bytes_to_bits_batch(data: np.ndarray, nbits: int) -> np.ndarray:
+    """(..., nbytes) uint8 -> (..., nbits) uint8 bits, LE per byte,
+    zero-padded to nbits."""
+    b = np.asarray(data, dtype=np.uint8)
+    bits = np.unpackbits(b[..., None], axis=-1, bitorder="little").reshape(
+        b.shape[:-1] + (b.shape[-1] * 8,)
+    )
+    if bits.shape[-1] < nbits:
+        pad = np.zeros(bits.shape[:-1] + (nbits - bits.shape[-1],), dtype=np.uint8)
+        bits = np.concatenate([bits, pad], axis=-1)
+    return bits
+
+
+class PedersenCRH:
+    def __init__(self, curve: TECurveSpec, window: Window):
+        self.curve = curve
+        self.window = window
+        self.input_size_bits = window.window_size * window.num_windows
+
+    # -- setup (mod.rs:40-74) --
+
+    def generator_powers(self, num_powers: int, rng) -> List[Tuple[int, int]]:
+        base = self.curve.rand_point(rng)
+        powers = []
+        for _ in range(num_powers):
+            powers.append(base)
+            base = self.curve.double_host(base)
+        return powers
+
+    def create_generators(self, rng) -> List[List[Tuple[int, int]]]:
+        return [
+            self.generator_powers(self.window.window_size, rng)
+            for _ in range(self.window.num_windows)
+        ]
+
+    def setup(self, rng) -> PedersenParameters:
+        return PedersenParameters(self.curve, self.create_generators(rng))
+
+    # -- evaluation --
+
+    def _check_and_pad(self, data: bytes) -> bytes:
+        if len(data) * 8 > self.input_size_bits:
+            raise ValueError(
+                f"incorrect input length {len(data)} for window params "
+                f"{self.window.window_size}x{self.window.num_windows}"
+            )
+        padded_length = self.input_size_bits // 8
+        return bytes(data) + b"\x00" * (padded_length - len(data))
+
+    def evaluate(self, params: PedersenParameters, input_: bytes) -> Tuple[int, int]:
+        """Host tier: exact mirror of mod.rs:76-129."""
+        data = self._check_and_pad(bytes(input_))
+        bits = bytes_to_bits(data)
+        acc = (0, 1)
+        for w in range(self.window.num_windows):
+            chunk = bits[w * self.window.window_size : (w + 1) * self.window.window_size]
+            for bit, base in zip(chunk, params.generators[w]):
+                if bit:
+                    acc = self.curve.add_host(acc, base)
+        return acc
+
+    def evaluate_batch_extended(self, params: PedersenParameters, inputs: jnp.ndarray) -> jnp.ndarray:
+        """inputs (..., nbytes) uint8 -> extended digests (..., 4, L)."""
+        nbytes = inputs.shape[-1]
+        assert nbytes * 8 <= self.input_size_bits
+        bits = jnp.asarray(bytes_to_bits_batch(np.asarray(inputs), self.input_size_bits))
+        return cv.te_conditional_sum(self.curve, params.packed_flat(), bits)
+
+    def evaluate_batch(self, params: PedersenParameters, inputs: jnp.ndarray) -> jnp.ndarray:
+        """inputs (..., nbytes) uint8 -> affine digests (..., 2, L) Montgomery."""
+        return cv.te_to_affine(self.curve, self.evaluate_batch_extended(params, inputs))
+
+
+class PedersenTwoToOneCRH:
+    """mod.rs:132-198: halves zero-padded into one INPUT_SIZE_BITS buffer."""
+
+    def __init__(self, curve: TECurveSpec, window: Window):
+        self.curve = curve
+        self.window = window
+        self.crh = PedersenCRH(curve, window)
+        self.input_size_bits = self.crh.input_size_bits
+        self.half_input_size_bits = self.input_size_bits // 2
+
+    def setup(self, rng) -> PedersenParameters:
+        return self.crh.setup(rng)
+
+    def evaluate(self, params, left: bytes, right: bytes) -> Tuple[int, int]:
+        assert len(left) == len(right), "left and right input should be of equal length"
+        assert len(left) * 8 <= self.half_input_size_bits
+        buffer = bytearray(self.input_size_bits // 8)
+        combined = bytes(left) + bytes(right)
+        buffer[: len(combined)] = combined
+        return self.crh.evaluate(params, bytes(buffer))
+
+    def compress(self, params, left: Tuple[int, int], right: Tuple[int, int]):
+        """Digests -> uncompressed x||y bytes -> evaluate (mod.rs:187-198)."""
+        return self.evaluate(
+            params,
+            self.curve.to_uncompressed_bytes(left),
+            self.curve.to_uncompressed_bytes(right),
+        )
+
+    def evaluate_batch(self, params, left: jnp.ndarray, right: jnp.ndarray) -> jnp.ndarray:
+        """left/right (..., nbytes) uint8 -> (..., 2, L)."""
+        assert left.shape == right.shape
+        combined = jnp.concatenate([left, right], axis=-1)
+        return self.crh.evaluate_batch(params, combined)
+
+    def compress_batch(self, params, left: jnp.ndarray, right: jnp.ndarray) -> jnp.ndarray:
+        """left/right are affine digest rows (..., 2, L) Montgomery."""
+        lb = _affine_to_uncompressed_bytes_batch(self.curve, left)
+        rb = _affine_to_uncompressed_bytes_batch(self.curve, right)
+        return self.evaluate_batch(params, lb, rb)
+
+
+def _affine_to_uncompressed_bytes_batch(curve: TECurveSpec, aff: jnp.ndarray) -> jnp.ndarray:
+    """(..., 2, L) Montgomery affine -> (..., 2*bigint_bytes) uint8 (x||y LE)."""
+    from crypto_primitives_tpu.ops import field as ff
+
+    std = ff.from_mont_device(curve.base, aff)  # (..., 2, L) canonical
+    lo = (std & 0xFF).astype(jnp.uint8)
+    hi = ((std >> 8) & 0xFF).astype(jnp.uint8)
+    by = jnp.stack([lo, hi], axis=-1)  # (..., 2, L, 2)
+    return by.reshape(aff.shape[:-2] + (2 * curve.base.bigint_bytes,))

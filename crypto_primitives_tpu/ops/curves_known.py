@@ -1,0 +1,67 @@
+"""Known twisted-Edwards curve instances.
+
+The reference's test/bench curves (dev-deps,
+/root/reference/crypto-primitives/Cargo.toml:60-65): ed-on-bls12-381 (JubJub)
+and ed-on-bls12-377.  Both have a = -1 (square) and d nonsquare, so the
+unified TE addition law is complete.
+
+NOTE on generators: our deterministic base points are derived from the curve
+equation (smallest admissible x, even y, cofactor-cleared); the reference's
+named GENERATOR_X/Y constants are not reproduced.  Nothing in the primitive
+layer depends on the standard generator — every scheme's `setup` samples its
+own generators from an RNG (e.g. src/crh/pedersen/mod.rs:40-56,
+src/signature/schnorr/mod.rs setup).
+"""
+
+import functools
+
+from crypto_primitives_tpu.ops.curve import TECurveSpec
+from crypto_primitives_tpu.ops.fields_known import (
+    BLS12_377_FR,
+    BLS12_381_FR,
+    ED_ON_BLS12_377_FR,
+    JUBJUB_FR,
+)
+
+_q381 = BLS12_381_FR.p
+# JubJub: a = -1, d = -(10240/10241) mod q
+JUBJUB = TECurveSpec(
+    "jubjub",
+    base=BLS12_381_FR,
+    scalar=JUBJUB_FR,
+    a=-1,
+    d=(-10240 * pow(10241, -1, _q381)) % _q381,
+    cofactor=8,
+)
+
+# ed-on-bls12-377: a = -1, d = 3021
+ED_ON_BLS12_377 = TECurveSpec(
+    "ed_on_bls12_377",
+    base=BLS12_377_FR,
+    scalar=ED_ON_BLS12_377_FR,
+    a=-1,
+    d=3021,
+    cofactor=4,
+)
+
+
+@functools.cache
+def deterministic_generator(curve: TECurveSpec):
+    """Smallest-x admissible prime-order point (even y), cofactor-cleared."""
+    p = curve.base.p
+    x = 1
+    while True:
+        denom = (1 - curve.d * x * x) % p
+        if denom != 0:
+            y2 = (1 - curve.a * x * x) * pow(denom, -1, p) % p
+            y = curve.sqrt_host(y2)
+            if y is not None:
+                y = min(y, p - y)
+                pt = curve.scalar_mul_host((x, y), curve.cofactor)
+                if pt != (0, 1):
+                    return pt
+        x += 1
+
+
+JUBJUB.generator = deterministic_generator(JUBJUB)
+ED_ON_BLS12_377.generator = deterministic_generator(ED_ON_BLS12_377)
