@@ -1,0 +1,88 @@
+"""Curve-point ElGamal.
+
+Twin of /root/reference/crypto-primitives/src/encryption/elgamal/mod.rs:
+pk = sk*G; Enc(m; r) = (r*G, m + r*pk) (mod.rs:65-81);
+Dec(c1, c2) = c2 - sk*c1 (mod.rs:83-99); the plaintext is a curve point.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from crypto_primitives_tpu.ops import curve as cv
+from crypto_primitives_tpu.ops.curve import TECurveSpec
+
+
+@dataclasses.dataclass
+class ElGamalParameters:
+    generator: Tuple[int, int]
+
+
+class ElGamal:
+    def __init__(self, curve: TECurveSpec):
+        self.curve = curve
+
+    def setup(self, rng) -> ElGamalParameters:
+        return ElGamalParameters(generator=self.curve.rand_point(rng))
+
+    def keygen(self, params: ElGamalParameters, rng) -> Tuple[Tuple[int, int], int]:
+        sk = rng.randrange(self.curve.scalar.p)
+        pk = self.curve.scalar_mul_host(params.generator, sk)
+        return pk, sk
+
+    def rand_randomness(self, rng) -> int:
+        return rng.randrange(self.curve.scalar.p)
+
+    def encrypt(self, params: ElGamalParameters, pk, message, randomness: int):
+        s = self.curve.scalar_mul_host(pk, randomness)
+        c1 = self.curve.scalar_mul_host(params.generator, randomness)
+        c2 = self.curve.add_host(message, s)
+        return (c1, c2)
+
+    def decrypt(self, params: ElGamalParameters, sk: int, ciphertext):
+        c1, c2 = ciphertext
+        s = self.curve.scalar_mul_host(c1, sk)
+        return self.curve.add_host(c2, self.curve.neg_host(s))
+
+    # -- TPU-shaped batch APIs --
+
+    def _scalars_to_bits(self, scalars) -> np.ndarray:
+        nbits = self.curve.scalar.nbits
+        out = np.zeros((len(scalars), nbits), dtype=np.uint8)
+        for i, v in enumerate(scalars):
+            v = int(v) % self.curve.scalar.p
+            for j in range(nbits):
+                out[i, j] = (v >> j) & 1
+        return out
+
+    def encrypt_batch(self, params: ElGamalParameters, pk, messages: List, randomness: List[int]):
+        """Batched Enc over B messages/randomness; returns list of ciphertexts."""
+        B = len(messages)
+        gen = jnp.asarray(self.curve.pack_points(params.generator))
+        pkd = jnp.asarray(self.curve.pack_points(pk))
+        rbits = jnp.asarray(self._scalars_to_bits(randomness))
+        c1 = cv.te_scalar_mul_bits(
+            self.curve, jnp.broadcast_to(gen, (B,) + gen.shape), rbits
+        )
+        s = cv.te_scalar_mul_bits(
+            self.curve, jnp.broadcast_to(pkd, (B,) + pkd.shape), rbits
+        )
+        msgs = jnp.asarray(self.curve.pack_points(list(messages)))
+        c2 = cv.te_add(self.curve, msgs, s)
+        c1h = self.curve.unpack_points(np.asarray(c1))
+        c2h = self.curve.unpack_points(np.asarray(c2))
+        return [(tuple(c1h[i]), tuple(c2h[i])) for i in range(B)]
+
+    def decrypt_batch(self, params: ElGamalParameters, sk: int, ciphertexts: List):
+        B = len(ciphertexts)
+        c1 = jnp.asarray(self.curve.pack_points([c[0] for c in ciphertexts]))
+        c2 = jnp.asarray(self.curve.pack_points([c[1] for c in ciphertexts]))
+        sk_bits = jnp.asarray(self._scalars_to_bits([sk] * B))
+        s = cv.te_scalar_mul_bits(self.curve, c1, sk_bits)
+        m = cv.te_add(self.curve, c2, cv.te_neg(self.curve, s))
+        mh = self.curve.unpack_points(np.asarray(m))
+        return [tuple(mh[i]) for i in range(B)]

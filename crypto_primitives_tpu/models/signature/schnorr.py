@@ -1,0 +1,164 @@
+"""Schnorr signatures over a TE group with a generic byte digest.
+
+Twin of /root/reference/crypto-primitives/src/signature/schnorr/mod.rs:
+  * setup: random 32-byte salt + random generator (mod.rs:49-62)
+  * sign: loop-sample k, r = k*G, e = H(salt || ser(r) || ser(msg)) mapped
+    via from_random_bytes (retry on None); s = k - e*sk (mod.rs:77-115)
+  * verify: r' = s*G + e*pk, recompute e (mod.rs:117-148)
+  * randomize_public_key: pk + m*G; randomize_signature: s - e*m — both use
+    the same multiplier m derived from the randomness bytes' MSB-first bit
+    stream with weight 2^position (mod.rs:150-214; the pk path's
+    reversed-stream double-and-add computes the same integer)
+
+Serialization details that define the hash input (ark-serialize semantics):
+salt = raw 32 bytes (fixed array, no prefix); r = TE compressed (y bytes,
+x-sign flag in top bit); msg = u64 LE length prefix + bytes (slice impl).
+
+TPU addition: `verify_batch` — the two scalar multiplications for B
+signatures run as one batched device program; the cheap byte hashing
+finishes on host.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import hashlib
+from typing import Callable, List, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from crypto_primitives_tpu.ops import curve as cv
+from crypto_primitives_tpu.ops.curve import TECurveSpec
+
+
+@dataclasses.dataclass
+class SchnorrParameters:
+    generator: Tuple[int, int]
+    salt: bytes  # 32 bytes
+
+
+@dataclasses.dataclass
+class SchnorrSignature:
+    prover_response: int  # s
+    verifier_challenge: int  # e
+
+
+def _randomness_multiplier(randomness: bytes) -> int:
+    """Sum over the MSB-first bit stream with weight 2^position
+    (mod.rs:187-194 / the equivalent reversed double-and-add at :160-169)."""
+    m = 0
+    pos = 0
+    for byte in randomness:
+        for i in range(8):
+            bit = (byte >> (7 - i)) & 1
+            m += bit << pos
+            pos += 1
+    return m
+
+
+class Schnorr:
+    def __init__(self, curve: TECurveSpec, digest: Callable[[bytes], bytes] = None):
+        self.curve = curve
+        self.digest = digest or (lambda b: hashlib.sha256(b).digest())
+
+    # -- core scheme --
+
+    def setup(self, rng) -> SchnorrParameters:
+        salt = bytes(rng.randrange(256) for _ in range(32))
+        generator = self.curve.rand_point(rng)
+        return SchnorrParameters(generator=generator, salt=salt)
+
+    def keygen(self, params: SchnorrParameters, rng) -> Tuple[Tuple[int, int], int]:
+        sk = rng.randrange(self.curve.scalar.p)
+        pk = self.curve.scalar_mul_host(params.generator, sk)
+        return pk, sk
+
+    def _hash_input(self, params: SchnorrParameters, commitment: Tuple[int, int],
+                    message: bytes) -> bytes:
+        return (
+            params.salt
+            + self.curve.serialize_compressed(commitment)
+            + len(message).to_bytes(8, "little")
+            + bytes(message)
+        )
+
+    def _from_random_bytes(self, digest: bytes):
+        """arkworks `F::from_random_bytes`: LE integer of the digest bytes;
+        None if >= p (rejection)."""
+        v = int.from_bytes(digest, "little")
+        return v if v < self.curve.scalar.p else None
+
+    def sign(self, params: SchnorrParameters, sk: int, message: bytes, rng) -> SchnorrSignature:
+        r_order = self.curve.scalar.p
+        while True:
+            k = rng.randrange(r_order)
+            commitment = self.curve.scalar_mul_host(params.generator, k)
+            e = self._from_random_bytes(
+                self.digest(self._hash_input(params, commitment, message))
+            )
+            if e is not None:
+                break
+        s = (k - e * sk) % r_order
+        return SchnorrSignature(prover_response=s, verifier_challenge=e)
+
+    def verify(self, params: SchnorrParameters, pk: Tuple[int, int], message: bytes,
+               sig: SchnorrSignature) -> bool:
+        r_prime = self.curve.add_host(
+            self.curve.scalar_mul_host(params.generator, sig.prover_response % self.curve.scalar.p),
+            self.curve.scalar_mul_host(pk, sig.verifier_challenge % self.curve.scalar.p),
+        )
+        e = self._from_random_bytes(self.digest(self._hash_input(params, r_prime, message)))
+        if e is None:
+            return False
+        return e == sig.verifier_challenge
+
+    # -- rerandomization (mod.rs:150-202) --
+
+    def randomize_public_key(self, params: SchnorrParameters, public_key: Tuple[int, int],
+                             randomness: bytes) -> Tuple[int, int]:
+        m = _randomness_multiplier(randomness)
+        return self.curve.add_host(
+            self.curve.scalar_mul_host(params.generator, m), public_key
+        )
+
+    def randomize_signature(self, params: SchnorrParameters, sig: SchnorrSignature,
+                            randomness: bytes) -> SchnorrSignature:
+        m = _randomness_multiplier(randomness) % self.curve.scalar.p
+        s = (sig.prover_response - sig.verifier_challenge * m) % self.curve.scalar.p
+        return SchnorrSignature(
+            prover_response=s, verifier_challenge=sig.verifier_challenge
+        )
+
+    # -- TPU-shaped batch verification --
+
+    def _scalars_to_bits(self, scalars) -> np.ndarray:
+        nbits = self.curve.scalar.nbits
+        out = np.zeros((len(scalars), nbits), dtype=np.uint8)
+        for i, v in enumerate(scalars):
+            v = int(v) % self.curve.scalar.p
+            for j in range(nbits):
+                out[i, j] = (v >> j) & 1
+        return out
+
+    def verify_batch(self, params: SchnorrParameters, pks: List[Tuple[int, int]],
+                     messages: List[bytes], sigs: List[SchnorrSignature]) -> List[bool]:
+        """Batch the two variable-base scalar muls per signature on device,
+        finish the byte hashing on host."""
+        B = len(sigs)
+        assert len(pks) == B and len(messages) == B
+        gen = jnp.asarray(self.curve.pack_points(params.generator))
+        gens = jnp.broadcast_to(gen, (B,) + gen.shape)
+        pks_dev = jnp.asarray(self.curve.pack_points(list(pks)))
+        s_bits = jnp.asarray(self._scalars_to_bits([s.prover_response for s in sigs]))
+        e_bits = jnp.asarray(self._scalars_to_bits([s.verifier_challenge for s in sigs]))
+        sg = cv.te_scalar_mul_bits(self.curve, gens, s_bits)
+        epk = cv.te_scalar_mul_bits(self.curve, pks_dev, e_bits)
+        r_primes = self.curve.unpack_points(np.asarray(cv.te_add(self.curve, sg, epk)))
+        out = []
+        for i in range(B):
+            e = self._from_random_bytes(
+                self.digest(self._hash_input(params, tuple(r_primes[i]), messages[i]))
+            )
+            out.append(e is not None and e == sigs[i].verifier_challenge)
+        return out
