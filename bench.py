@@ -1,0 +1,77 @@
+"""Headline benchmark: Poseidon permutations/s on one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline = the BASELINE.json north-star target of 1e7 permutations/s/chip
+(the reference publishes no numbers of its own — BASELINE.md).
+Runs on whatever the default JAX platform provides (the real TPU chip under
+the driver; CPU elsewhere).
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+try:
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache_tpu")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
+
+from crypto_primitives_tpu.models.sponge import get_default_poseidon_parameters
+from crypto_primitives_tpu.models.sponge.poseidon import permute
+from crypto_primitives_tpu.ops import field as ff
+from crypto_primitives_tpu.ops.fields_known import BLS12_381_FR as FR
+
+
+def main():
+    cfg = get_default_poseidon_parameters(FR, 2, False)
+    packed = cfg.packed()
+    B = 8192  # independent sponge states
+    K = 32  # chained permutations per timed call
+
+    # NOTE: timing is differential (K0 vs K1 chained permutations inside one
+    # jit) with a tiny reduced output fetched via np.asarray — under the axon
+    # tunnel, block_until_ready does not actually synchronize, and fetching
+    # large outputs is transfer-bound; the K1-K0 delta isolates pure compute.
+    import numpy as np
+
+    K0, K1 = K, 5 * K
+
+    def many(k):
+        def fn(s):
+            s = jax.lax.fori_loop(0, k, lambda i, s: permute(FR, packed, s), s)
+            return jnp.sum(s.astype(jnp.float32))
+        return jax.jit(fn)
+
+    state = ff.zeros(FR, (B, cfg.t))
+
+    def timed(f):
+        r = f(state)
+        np.asarray(r)  # compile + sync
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            np.asarray(f(state))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t0, t1 = timed(many(K0)), timed(many(K1))
+    perms_per_s = B * (K1 - K0) / max(t1 - t0, 1e-9)
+    target = 1e7
+    print(
+        json.dumps(
+            {
+                "metric": "poseidon_permutations_per_s_per_chip",
+                "value": round(perms_per_s, 1),
+                "unit": "perm/s",
+                "vs_baseline": round(perms_per_s / target, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -32,8 +32,9 @@ class PedersenCommitmentParameters:
     generators: List[List[Tuple[int, int]]]
 
     @functools.cache
-    def packed_randomness(self) -> jnp.ndarray:
-        return jnp.asarray(self.curve.pack_points(self.randomness_generator))
+    def packed_randomness(self) -> np.ndarray:
+        # numpy, not jnp: trace-safe caching
+        return self.curve.pack_points(self.randomness_generator)
 
     def crh_params(self) -> PedersenParameters:
         if not hasattr(self, "_crh_params"):

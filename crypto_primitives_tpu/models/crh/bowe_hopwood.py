@@ -36,13 +36,14 @@ class BoweHopwoodParameters:
 
     @functools.cache
     def packed(self):
-        """Returns (g, g2): flattened (W*S, 4, L) tables of generators and
-        their doubles (for the +2g conditional)."""
+        """Returns (g, g2): flattened (W*S, 4, L) numpy tables of generators
+        and their doubles (for the +2g conditional).  Numpy, not jnp, so a
+        first call under a trace cannot memoize tracers."""
         flat = [g for win in self.generators for g in win]
         g = self.curve.pack_points(flat)
         dbl = [self.curve.double_host(pt) for pt in flat]
         g2 = self.curve.pack_points(dbl)
-        return jnp.asarray(g), jnp.asarray(g2)
+        return g, g2
 
     def __hash__(self):
         return id(self)

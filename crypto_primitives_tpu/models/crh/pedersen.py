@@ -42,10 +42,13 @@ class PedersenParameters:
     generators: List[List[Tuple[int, int]]]
 
     @functools.cache
-    def packed_flat(self) -> jnp.ndarray:
-        """(num_windows * window_size, 4, L) extended, window-major."""
+    def packed_flat(self) -> np.ndarray:
+        """(num_windows * window_size, 4, L) extended, window-major.
+
+        Cached as numpy (not jnp) so a first call under a trace cannot
+        memoize tracers."""
         flat = [g for win in self.generators for g in win]
-        return jnp.asarray(self.curve.pack_points(flat))
+        return self.curve.pack_points(flat)
 
     def __hash__(self):
         return id(self)

@@ -58,15 +58,18 @@ class PoseidonConfig:
 
     @functools.cache
     def packed(self) -> "PackedPoseidon":
+        # NOTE: tables are cached as NUMPY arrays (never jnp) so that a first
+        # call from inside a jit/shard_map trace cannot memoize tracers;
+        # jax embeds them as constants at each trace site.
         spec = self.field
         rf2 = self.full_rounds // 2
         ark = np.asarray(spec.pack(self.ark))  # (rounds, t, L) Montgomery
         return PackedPoseidon(
             config=self,
-            ark_full1=jnp.asarray(ark[:rf2]),
-            ark_partial=jnp.asarray(ark[rf2 : rf2 + self.partial_rounds]),
-            ark_full2=jnp.asarray(ark[rf2 + self.partial_rounds :]),
-            mds=jnp.asarray(spec.pack(self.mds)),
+            ark_full1=ark[:rf2],
+            ark_partial=ark[rf2 : rf2 + self.partial_rounds],
+            ark_full2=ark[rf2 + self.partial_rounds :],
+            mds=np.asarray(spec.pack(self.mds)),
         )
 
     def __hash__(self):

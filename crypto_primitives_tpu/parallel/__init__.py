@@ -1,0 +1,11 @@
+"""Multi-chip parallelism: mesh helpers, sharded Merkle builds, sharded MSM.
+
+The reference's only parallelism is single-host rayon map-reduce
+(SURVEY.md §2.10); the TPU-native equivalents here are first-class:
+`jax.sharding.Mesh` + `shard_map` with XLA collectives over ICI —
+leaves/points sharded by index, parameter tables replicated.
+"""
+
+from crypto_primitives_tpu.parallel.mesh import make_mesh
+from crypto_primitives_tpu.parallel.merkle import sharded_merkle_root
+from crypto_primitives_tpu.parallel.msm import sharded_fixed_base_msm

@@ -1,0 +1,16 @@
+"""Mesh construction helpers."""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh
+
+
+def make_mesh(n_devices: int | None = None, axis_name: str = "data") -> Mesh:
+    """1-D device mesh over the first ``n_devices`` devices (default: all)."""
+    devs = jax.devices()
+    if n_devices is not None:
+        assert len(devs) >= n_devices, f"need {n_devices} devices, have {len(devs)}"
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), (axis_name,))

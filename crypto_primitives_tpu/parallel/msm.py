@@ -1,0 +1,48 @@
+"""Sharded fixed-base multi-scalar multiplication.
+
+The Pedersen window sums (/root/reference/crypto-primitives/src/crh/pedersen/
+mod.rs:113-124, rayon over windows) become: shard the (table, bits) pairs
+across the mesh along the table axis, accumulate a per-device partial sum
+with the conditional-sum kernel, all-gather the D partial points (tiny) and
+fold them locally — the group operation is not a `psum`, so the reduction is
+an explicit gather + log-depth complete-addition tree.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from crypto_primitives_tpu.ops import curve as cv
+from crypto_primitives_tpu.ops.curve import TECurveSpec
+
+
+def sharded_fixed_base_msm(
+    curve: TECurveSpec,
+    table: jnp.ndarray,
+    bits: jnp.ndarray,
+    mesh: Mesh,
+    axis_name: str = "data",
+) -> jnp.ndarray:
+    """sum_j bits[..., j] * table[j], table axis sharded over the mesh.
+
+    table: (N, 4, L); bits: (..., N) with N divisible by mesh size.
+    Returns replicated (..., 4, L) extended points.
+    """
+    n_dev = mesh.shape[axis_name]
+    assert table.shape[0] % n_dev == 0
+
+    def shard_fn(table_shard, bits_shard):
+        partial = cv.te_conditional_sum(curve, table_shard, bits_shard)
+        gathered = jax.lax.all_gather(partial, axis_name)  # (D, ..., 4, L)
+        return cv.te_sum(curve, jnp.moveaxis(gathered, 0, -3))
+
+    fn = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(axis_name), P(*([None] * (bits.ndim - 1) + [axis_name]))),
+        out_specs=P(),
+        check_vma=False,
+    )
+    return fn(table, bits)

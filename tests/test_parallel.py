@@ -1,0 +1,70 @@
+"""Multi-chip sharding on the virtual 8-device CPU mesh: sharded results
+must be bit-equal to the single-device oracle (SURVEY.md §4: the
+'native vs. distributed bit-equal' pattern)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from crypto_primitives_tpu.models.crh.poseidon import PoseidonCRH, PoseidonTwoToOneCRH
+from crypto_primitives_tpu.models.merkle_tree import (
+    FieldDigestDomain,
+    IdentityDigestConverter,
+    MerkleTree,
+    MerkleTreeConfig,
+)
+from crypto_primitives_tpu.models.sponge import get_default_poseidon_parameters
+from crypto_primitives_tpu.ops import curve as cv
+from crypto_primitives_tpu.ops.curves_known import JUBJUB
+from crypto_primitives_tpu.ops.fields_known import BLS12_381_FR as FR
+from crypto_primitives_tpu.parallel import (
+    make_mesh,
+    sharded_fixed_base_msm,
+    sharded_merkle_root,
+)
+
+
+def test_mesh_has_8_devices():
+    assert len(jax.devices()) == 8
+
+
+def test_sharded_merkle_root_matches_single_device(rng):
+    cfg = MerkleTreeConfig(
+        PoseidonCRH(FR), PoseidonTwoToOneCRH(FR),
+        FieldDigestDomain(FR), FieldDigestDomain(FR), IdentityDigestConverter(),
+    )
+    params = get_default_poseidon_parameters(FR, 2, False)
+    n = 64
+    leaves_host = [[rng.randrange(FR.p)] for _ in range(n)]
+    leaves = jnp.asarray(FR.pack(leaves_host))
+    single = MerkleTree.new(cfg, params, params, leaves).root()
+    mesh = make_mesh(8)
+    root_row = sharded_merkle_root(cfg, params, params, leaves, mesh)
+    assert int(FR.unpack(np.asarray(root_row))) == single
+
+
+def test_sharded_msm_matches_single_device(rng):
+    n = 32
+    pts = [JUBJUB.rand_point(rng) for _ in range(n)]
+    table = jnp.asarray(JUBJUB.pack_points(pts))
+    bits = np.asarray([[rng.randrange(2) for _ in range(n)] for _ in range(3)], dtype=np.uint8)
+    single = cv.te_conditional_sum(JUBJUB, table, jnp.asarray(bits))
+    mesh = make_mesh(8)
+    sharded = sharded_fixed_base_msm(JUBJUB, table, jnp.asarray(bits), mesh)
+    single_aff = JUBJUB.unpack_points(np.asarray(single))
+    sharded_aff = JUBJUB.unpack_points(np.asarray(sharded))
+    assert list(single_aff) == list(sharded_aff)
+
+
+def test_sharded_msm_4_devices(rng):
+    n = 16
+    pts = [JUBJUB.rand_point(rng) for _ in range(n)]
+    table = jnp.asarray(JUBJUB.pack_points(pts))
+    bits = jnp.asarray(np.ones((2, n), dtype=np.uint8))
+    mesh = make_mesh(4)
+    sharded = sharded_fixed_base_msm(JUBJUB, table, bits, mesh)
+    expect = (0, 1)
+    for p in pts:
+        expect = JUBJUB.add_host(expect, p)
+    assert list(JUBJUB.unpack_points(np.asarray(sharded))) == [expect, expect]
