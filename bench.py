@@ -21,7 +21,7 @@ except Exception:
     pass
 
 from crypto_primitives_tpu.models.sponge import get_default_poseidon_parameters
-from crypto_primitives_tpu.models.sponge.poseidon import permute
+from crypto_primitives_tpu.models.sponge.poseidon import permute as permute_xla
 from crypto_primitives_tpu.ops import field as ff
 from crypto_primitives_tpu.ops.fields_known import BLS12_381_FR as FR
 
@@ -29,8 +29,15 @@ from crypto_primitives_tpu.ops.fields_known import BLS12_381_FR as FR
 def main():
     cfg = get_default_poseidon_parameters(FR, 2, False)
     packed = cfg.packed()
-    B = 8192  # independent sponge states
-    K = 32  # chained permutations per timed call
+    on_tpu = jax.default_backend() == "tpu"
+    if on_tpu:
+        from crypto_primitives_tpu.ops.poseidon_pallas import _build_pallas_permute
+
+        perm = _build_pallas_permute(FR, cfg, 1024, False)
+    else:
+        perm = lambda s: permute_xla(FR, packed, s)
+    B = 32768 if on_tpu else 2048  # independent sponge states
+    K = 8  # chained permutations per timed call
 
     # NOTE: timing is differential (K0 vs K1 chained permutations inside one
     # jit) with a tiny reduced output fetched via np.asarray — under the axon
@@ -42,7 +49,7 @@ def main():
 
     def many(k):
         def fn(s):
-            s = jax.lax.fori_loop(0, k, lambda i, s: permute(FR, packed, s), s)
+            s = jax.lax.fori_loop(0, k, lambda i, s: perm(s), s)
             return jnp.sum(s.astype(jnp.float32))
         return jax.jit(fn)
 

@@ -168,7 +168,15 @@ class PoseidonSpongeBatch:
         return sponge
 
     def _permute(self):
-        self.state = permute(self.spec, self.packed, self.state)
+        # On TPU with a reasonable batch, use the fused Pallas kernel
+        # (ops/poseidon_pallas.py); otherwise the XLA path.
+        batch = int(np.prod(self.batch_shape)) if self.batch_shape else 1
+        if jax.default_backend() == "tpu" and batch >= 256 and len(self.batch_shape) == 1:
+            from crypto_primitives_tpu.ops.poseidon_pallas import permute_pallas
+
+            self.state = permute_pallas(self.spec, self.config, self.state)
+        else:
+            self.state = permute(self.spec, self.packed, self.state)
 
     def _absorb_internal(self, rate_start: int, elems: jnp.ndarray):
         """elems: (..., k, L) Montgomery; mirrors absorb_internal

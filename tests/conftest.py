@@ -23,17 +23,26 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
+# NOTE: the persistent compilation cache is intentionally NOT enabled here —
+# XLA:CPU's executable.serialize() segfaults flakily on this machine
+# (machine-feature mismatch in the AOT path).  The TPU cache used by
+# bench.py (.jax_cache_tpu) is unaffected.
+jax.config.update("jax_enable_compilation_cache", False)
+
 import numpy as np
 import pytest
-
-# Persistent compilation cache: the limb-arithmetic kernels compile to large
-# XLA programs; caching them across pytest runs keeps the suite fast.
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
 
 
 @pytest.fixture
 def rng():
     """Deterministic RNG, mirroring the reference's `ark_std::test_rng()`."""
     return random.Random(12345)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """XLA:CPU flakily segfaults when compiling large programs late in a
+    long-lived process; clearing compiled-computation caches between test
+    modules keeps compiler state bounded."""
+    yield
+    jax.clear_caches()
