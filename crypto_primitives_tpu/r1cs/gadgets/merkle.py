@@ -1,0 +1,89 @@
+"""Merkle path verification gadget.
+
+Twin of /root/reference/crypto-primitives/src/merkle_tree/constraints.rs:
+`PathVar{path (position bits), auth_path, leaf_sibling, leaf_is_right_child}`
+(:85-94); `calculate_root` folds CondSelect + compress bottom-up (:182-223);
+`verify_membership` = calculate_root().is_eq(root) (:228-237);
+`update_leaf` / `update_and_check` for in-circuit updates (:239-272).
+
+Implemented for the field-native configuration (Poseidon leaf + two-to-one,
+identity digest converter — the reference's field-native test config at
+src/merkle_tree/tests/constraints.rs).
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+from crypto_primitives_tpu.r1cs.cs import ConstraintSystem
+from crypto_primitives_tpu.r1cs.vars import Boolean, FpVar
+
+
+class PathVar:
+    """Field-native Merkle path variable.
+
+    * ``path``: position Booleans, top-down (True = the on-path node is the
+      right child), matching `Path::position_list` big-endian order
+      (src/merkle_tree/mod.rs:160-165).
+    * ``auth_path``: sibling digests, root->leaf order.
+    * ``leaf_sibling`` and ``leaf_is_right_child`` for the leaf layer.
+    """
+
+    def __init__(self, cs: ConstraintSystem, path: List[Boolean],
+                 auth_path: List[FpVar], leaf_sibling: FpVar,
+                 leaf_is_right_child: Boolean):
+        self.cs = cs
+        self.path = path
+        self.auth_path = auth_path
+        self.leaf_sibling = leaf_sibling
+        self.leaf_is_right_child = leaf_is_right_child
+
+    @classmethod
+    def new_witness(cls, cs: ConstraintSystem, native_path) -> "PathVar":
+        """Allocate from a native `Path` (constraints.rs:96-140 shape)."""
+        pos = native_path.position_list()  # top-down bools
+        path_bits = [Boolean.new_witness(cs, b) for b in pos[:-1]]
+        leaf_is_right = Boolean.new_witness(cs, pos[-1])
+        auth = [FpVar.new_witness(cs, d) for d in native_path.auth_path]
+        sib = FpVar.new_witness(cs, native_path.leaf_sibling_hash)
+        return cls(cs, path_bits, auth, sib, leaf_is_right)
+
+    def calculate_root(self, leaf_hash_gadget, two_to_one_gadget, leaf: List[FpVar]) -> FpVar:
+        """constraints.rs:182-223."""
+        cs = self.cs
+        claimed_leaf_hash = leaf_hash_gadget.evaluate(cs, leaf)
+        # select left/right at the leaf layer
+        left = FpVar.select(self.leaf_is_right_child, self.leaf_sibling, claimed_leaf_hash)
+        right = FpVar.select(self.leaf_is_right_child, claimed_leaf_hash, self.leaf_sibling)
+        curr = two_to_one_gadget.evaluate(cs, left, right)
+        # levels bottom-up; path bits are stored top-down
+        for level in range(len(self.auth_path) - 1, -1, -1):
+            bit = self.path[level]
+            sibling = self.auth_path[level]
+            left = FpVar.select(bit, sibling, curr)
+            right = FpVar.select(bit, curr, sibling)
+            curr = two_to_one_gadget.compress(cs, left, right)
+        return curr
+
+    def verify_membership(self, leaf_hash_gadget, two_to_one_gadget,
+                          root: FpVar, leaf: List[FpVar]) -> Boolean:
+        """constraints.rs:228-237: Boolean result, no hard failure."""
+        return self.calculate_root(leaf_hash_gadget, two_to_one_gadget, leaf).is_eq(root)
+
+    def update_leaf(self, leaf_hash_gadget, two_to_one_gadget, old_root: FpVar,
+                    old_leaf: List[FpVar], new_leaf: List[FpVar]) -> FpVar:
+        """constraints.rs:239-256: check the old leaf is in the tree, then
+        return the updated root."""
+        ok = self.verify_membership(leaf_hash_gadget, two_to_one_gadget, old_root, old_leaf)
+        one = FpVar.constant(self.cs, 1)
+        ok.fp.enforce_equal(one)
+        return self.calculate_root(leaf_hash_gadget, two_to_one_gadget, new_leaf)
+
+    def update_and_check(self, leaf_hash_gadget, two_to_one_gadget, old_root: FpVar,
+                         new_root: FpVar, old_leaf: List[FpVar],
+                         new_leaf: List[FpVar]) -> Boolean:
+        """constraints.rs:259-272."""
+        updated = self.update_leaf(
+            leaf_hash_gadget, two_to_one_gadget, old_root, old_leaf, new_leaf
+        )
+        return updated.is_eq(new_root)
