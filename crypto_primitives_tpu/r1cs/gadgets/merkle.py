@@ -19,6 +19,70 @@ from crypto_primitives_tpu.r1cs.cs import ConstraintSystem
 from crypto_primitives_tpu.r1cs.vars import Boolean, FpVar
 
 
+class BytePathVar:
+    """Byte-digest Merkle path variable (SHA-256 config twin).
+
+    The `ConfigGadget` byte instantiation (constraints.rs:40-70 with
+    `BytesVarDigestConverter`): digests are `DigestVar`s (32 UInt8s),
+    the leaf->inner conversion prepends the constant u64 length prefix
+    (the `to_uncompressed_bytes!` layout of a Vec<u8>), and upper levels
+    compress raw digests.
+    """
+
+    def __init__(self, cs, path, auth_path, leaf_sibling, leaf_is_right_child):
+        self.cs = cs
+        self.path = path  # Booleans, top-down
+        self.auth_path = auth_path  # DigestVars, root->leaf
+        self.leaf_sibling = leaf_sibling  # DigestVar
+        self.leaf_is_right_child = leaf_is_right_child
+
+    @classmethod
+    def new_witness(cls, cs, native_path) -> "BytePathVar":
+        from crypto_primitives_tpu.r1cs.gadgets.sha256 import DigestVar
+        from crypto_primitives_tpu.r1cs.vars import UInt8
+
+        pos = native_path.position_list()
+        path_bits = [Boolean.new_witness(cs, b) for b in pos[:-1]]
+        leaf_is_right = Boolean.new_witness(cs, pos[-1])
+        auth = [
+            DigestVar(cs, [UInt8.new_witness(cs, b) for b in d])
+            for d in native_path.auth_path
+        ]
+        sib = DigestVar(
+            cs, [UInt8.new_witness(cs, b) for b in native_path.leaf_sibling_hash]
+        )
+        return cls(cs, path_bits, auth, sib, leaf_is_right)
+
+    @staticmethod
+    def _convert(cs, digest):
+        """ByteDigestConverter twin: u64 LE length prefix (constant) || bytes."""
+        from crypto_primitives_tpu.r1cs.vars import UInt8
+
+        prefix = [UInt8.constant(cs, b) for b in len(digest.bytes).to_bytes(8, "little")]
+        return prefix + digest.bytes
+
+    def calculate_root(self, leaf_hash_gadget, two_to_one_gadget, leaf_bytes):
+        from crypto_primitives_tpu.r1cs.gadgets.sha256 import DigestVar
+
+        cs = self.cs
+        claimed = leaf_hash_gadget.evaluate(cs, leaf_bytes)
+        left = DigestVar.select(self.leaf_is_right_child, self.leaf_sibling, claimed)
+        right = DigestVar.select(self.leaf_is_right_child, claimed, self.leaf_sibling)
+        curr = two_to_one_gadget.evaluate(
+            cs, self._convert(cs, left), self._convert(cs, right)
+        )
+        for level in range(len(self.auth_path) - 1, -1, -1):
+            bit = self.path[level]
+            sibling = self.auth_path[level]
+            left = DigestVar.select(bit, sibling, curr)
+            right = DigestVar.select(bit, curr, sibling)
+            curr = two_to_one_gadget.compress(cs, left, right)
+        return curr
+
+    def verify_membership(self, leaf_hash_gadget, two_to_one_gadget, root, leaf_bytes) -> Boolean:
+        return self.calculate_root(leaf_hash_gadget, two_to_one_gadget, leaf_bytes).is_eq(root)
+
+
 class PathVar:
     """Field-native Merkle path variable.
 

@@ -148,6 +148,43 @@ class BoweHopwoodCRHGadget:
         return acc.x
 
 
+class BoweHopwoodTwoToOneCRHGadget:
+    """bowe_hopwood/constraints.rs TwoToOneCRHGadget twin: halves concatenated
+    then hashed; compress serializes the prior x-coordinates in-circuit."""
+
+    def __init__(self, curve: TECurveSpec, window: Window):
+        self.curve = curve
+        self.crh = BoweHopwoodCRHGadget(curve, window)
+
+    def evaluate(self, cs, params, left: List[UInt8], right: List[UInt8]) -> FpVar:
+        assert len(left) == len(right)
+        # the native two-to-one fills a FULL-capacity zero buffer
+        # (bowe_hopwood/mod.rs:219-226), so trailing zero chunks are present
+        combined = _pad_input_bytes(
+            cs, list(left) + list(right), self.crh.input_size_bits // 8
+        )
+        return self.crh.evaluate(cs, params, combined)
+
+    def compress(self, cs, params, left: FpVar, right: FpVar) -> FpVar:
+        nb = self.curve.base.bigint_bytes
+        return self.evaluate(
+            cs, params, fpvar_to_bytes_le(left, nb), fpvar_to_bytes_le(right, nb)
+        )
+
+
+class PedersenCommitmentCompressorGadget:
+    """commitment/injective_map/constraints.rs:20-58 twin."""
+
+    def __init__(self, curve: TECurveSpec, window: Window):
+        self.inner = PedersenCommitmentGadget(curve, window)
+
+    def randomness_bits(self, cs, randomness):
+        return self.inner.randomness_bits(cs, randomness)
+
+    def commit(self, cs, params, input_, randomness_bits) -> FpVar:
+        return self.inner.commit(cs, params, input_, randomness_bits).x
+
+
 class TECompressorGadget:
     """injective_map/constraints.rs:22-51: x-coordinate of a point var."""
 
