@@ -5,19 +5,26 @@ field-mul intermediate to HBM (~50 MB per multiplication at B=8192), making
 it bandwidth-bound at ~1.4e5 perm/s.  This kernel keeps the entire
 (rounds x muls) pipeline in VMEM with the batch riding the 128-lane axis.
 
-Two multiplication paths:
-  * **constant x variable** (the MDS application, and the n'/p products
-    inside every Montgomery reduction): the whole digit-convolution
-    including cross-element accumulation is ONE exact bf16 matmul against a
-    precomputed base-256 convolution matrix of the constant (entries < 256
-    are bf16-exact; f32 accumulators stay < 2^23) — this moves ~80% of the
-    limb arithmetic onto the MXU;
+Design (v2, after ablation-driven tuning — see PERFORMANCE.md):
+  * **constant x variable** multiplications (the whole MDS application and
+    the n'/p products inside every Montgomery reduction) are single exact
+    bf16 matmuls against precomputed base-256 convolution matrices of the
+    constants.  Digit layouts are PLANE-ORDERED and baked into the matrix
+    column/row permutations (columns: [lo-plane | hi-plane | ...] of the
+    16-bit digits; rows: [even 8-digits | odd 8-digits]) so the kernel
+    never interleaves sublanes — splits and recombines are plain slices.
+  * the n' matmul consumes the RELAXED schoolbook accumulator directly
+    (3 byte planes); digit-index truncation of the convolution matrix is
+    exact mod R, so the t_low carry chain is eliminated entirely.
+  * ark constants are folded into the MDS reduction pre-reduce (adding
+    ark_mont * R in accumulator digits), eliminating standalone
+    add-mod carry chains; round 0's ark is applied once before the loop.
   * **variable x variable** (s-box squaring chains): uint32 VPU schoolbook
     products, anti-diagonal accumulation via two byte-plane bf16 matmuls
     against a fixed 0/1 band matrix.
+  * carries/borrows are log-depth Kogge-Stone prefix scans on sublanes.
 
-Carries are log-depth Kogge-Stone prefix scans along the sublane axis.
-Montgomery form and round scheduling are bit-identical to the XLA path
+Montgomery form and round scheduling remain bit-identical to the XLA path
 (src/sponge/poseidon/mod.rs:98-121 semantics); parity is enforced against
 the host oracle.
 """
@@ -41,57 +48,88 @@ def _digits8(x: int, n: int) -> np.ndarray:
     return np.array([(x >> (8 * i)) & 0xFF for i in range(n)], dtype=np.float32)
 
 
-def _const_conv_matrix(c: int, in_digits: int, out_digits: int) -> np.ndarray:
-    """Base-256 convolution matrix of the constant ``c``:
-    (M @ s8)[r] = sum_v c_digit[r-v] * s8[v]."""
-    cd = _digits8(c, out_digits)  # enough digits
-    M = np.zeros((out_digits, in_digits), dtype=np.float32)
-    for v in range(in_digits):
-        for d in range(out_digits - v):
-            M[v + d, v] = cd[d]
-    return M
+def _conv_matrix_po(c: int, in_rows16: int, in_planes: int, out_rows16: int) -> np.ndarray:
+    """Plane-ordered base-256 convolution matrix of constant ``c``.
+
+    Input columns: plane-major — column (p * in_rows16 + i) holds the byte
+    at 8-digit position (2i + p) of a 16-bit-digit operand.
+    Output rows: [even 8-digits (2k) x out_rows16 | odd 8-digits (2k+1) x
+    out_rows16]; the caller recombines 16-bit digits as even + (odd << 8).
+    Output truncated at 8-digit (2*out_rows16 - 1).
+    """
+    out8 = 2 * out_rows16
+    cd = _digits8(c, out8)
+    M8 = np.zeros((out8, in_planes * in_rows16), dtype=np.float32)
+    for p in range(in_planes):
+        for i in range(in_rows16):
+            v = 2 * i + p  # 8-digit position of this column
+            col = p * in_rows16 + i
+            for d in range(out8 - v):
+                M8[v + d, col] = cd[d]
+    # row permutation: evens then odds
+    perm = list(range(0, out8, 2)) + list(range(1, out8, 2))
+    return M8[perm]
 
 
 def _make_kernel(spec, config):
     """Build (kernel, consts arrays) for a (field, PoseidonConfig) pair."""
     L = spec.num_limbs
-    D8 = 2 * L  # base-256 digits per element
     t = config.t
     alpha = config.alpha
     rf2 = config.full_rounds // 2
     R_P = config.partial_rounds
+    R_T = config.full_rounds + R_P
     p_int = spec.p
+    OUT16 = 2 * L + 1  # result rows per element
 
     # ---- constant matrices (bf16-exact entries < 256) ----
-    # whole-MDS: (t*(2D8+1), t*D8), block (i, j) = conv matrix of mds[i][j]
     mds_mont = [[spec.to_mont(v) for v in row] for row in config.mds]
-    OD = 2 * D8 + 1
-    mds_m8 = np.zeros((t * OD, t * D8), dtype=np.float32)
+    # whole-MDS: rows = t blocks of [even OUT16 | odd OUT16], cols = t blocks
+    # of 2-plane canonical state digits
+    mds_m = np.zeros((t * 2 * OUT16, t * 2 * L), dtype=np.float32)
     for i in range(t):
         for j in range(t):
-            mds_m8[i * OD : (i + 1) * OD, j * D8 : (j + 1) * D8] = _const_conv_matrix(
-                mds_mont[i][j], D8, OD
-            )
-    nprime_m8 = _const_conv_matrix(spec.n_prime, D8, D8)  # mod R truncation
-    p_m8 = _const_conv_matrix(p_int, D8, OD)
+            mds_m[
+                i * 2 * OUT16 : (i + 1) * 2 * OUT16, j * 2 * L : (j + 1) * 2 * L
+            ] = _conv_matrix_po(mds_mont[i][j], L, 2, OUT16)
+    # n' matmul: consumes 4-plane RELAXED accumulator rows 0..L-1 (digits up
+    # to 2^31 from the MDS path); output truncated at 8-digit 2L-1 == mod R
+    # (exact; discarded high-position terms are multiples of R)
+    nprime_m = _conv_matrix_po(spec.n_prime, L, 4, L)
+    # p matmul: canonical m (2 planes) -> full product digits
+    p_m = _conv_matrix_po(p_int, L, 2, OUT16)
     band_m2t = _band_matrix(L).T.astype(np.float32)  # (2L+1, 2L^2)
+    # squaring band: upper-triangle pairs (i <= j), weight 2 for i < j
+    n_pairs = L * (L + 1) // 2
+    band_sq = np.zeros((2 * L + 1, 2 * n_pairs), dtype=np.float32)
+    k = 0
+    for i in range(L):
+        for j in range(i, L):
+            w = 1.0 if i == j else 2.0
+            band_sq[i + j, k] = w  # lo half-product
+            band_sq[i + j + 1, n_pairs + k] = w  # hi half-product
+            k += 1
 
-    # small uint32 constants: [p, 2p] for conditional subtraction (L+1 rows)
+    # small uint32 constants: p<<j for conditional subtraction (L+1 rows)
     psub_np = np.zeros((2, L + 1, 1), dtype=np.uint32)
     psub_np[0, :, 0] = _int_to_limbs(p_int, L + 1)
     psub_np[1, :, 0] = _int_to_limbs(p_int << 1, L + 1)
 
-    ark_np = np.asarray(spec.pack(config.ark)).reshape(
-        config.full_rounds + R_P, t * L, 1
-    )
+    # ark tables: round-0 ark as canonical Montgomery limbs for the pre-add;
+    # rounds 1..R-1 folded into the previous round's MDS accumulator as the
+    # 16-bit digits of (ark_mont * R) (low L digits are zero).  Row r of the
+    # fold table holds ark[r+1] (last row zero).
+    ark0_np = np.asarray(spec.pack([config.ark[0]])).reshape(t * L, 1)
+    ark_fold_np = np.zeros((R_T, t * OUT16, 1), dtype=np.uint32)
+    for r in range(R_T - 1):
+        for i in range(t):
+            y = spec.to_mont(config.ark[r + 1][i]) << (16 * L)  # ark_mont * R
+            for d in range(OUT16):
+                ark_fold_np[r, i * OUT16 + d, 0] = (y >> (16 * d)) & LIMB_MASK
 
     consts = dict(
-        ark=ark_np,
-        mds_m8=mds_m8,
-        nprime_m8=nprime_m8,
-        p_m8=p_m8,
-        band=band_m2t,
-        psub=psub_np,
+        ark0=ark0_np, ark_fold=ark_fold_np, mds_m=mds_m, nprime_m=nprime_m,
+        p_m=p_m, band=band_m2t, band_sq=band_sq, psub=psub_np,
     )
 
     def shift_up(x, s):
@@ -142,42 +180,39 @@ def _make_kernel(spec, config):
     def to_f32(x_u32):
         return x_u32.astype(jnp.int32).astype(jnp.float32)
 
-    def split8_bf16(x16):
-        """Canonical 16-bit digits (R, B) u32 -> interleaved 8-bit digits
-        (2R, B) bf16 (d0_lo, d0_hi, d1_lo, ...)."""
-        lo = x16 & 0xFF
-        hi = (x16 >> 8) & 0xFF
-        s = jnp.stack([lo, hi], axis=1)  # (R, 2, B)
-        s = s.reshape(2 * x16.shape[0], x16.shape[-1])
-        return to_f32(s).astype(jnp.bfloat16)
+    def to_bf16(x_u32):
+        return to_f32(x_u32).astype(jnp.bfloat16)
 
-    def from8(acc8_f32, out_rows16):
-        """Base-256 f32 digits (R8, B) -> relaxed base-2^16 u32 (out16, B)."""
-        a = acc8_f32.astype(jnp.int32).astype(jnp.uint32)
-        R8 = a.shape[0]
-        if R8 % 2 == 1:
-            a = jnp.concatenate(
-                [a, jnp.zeros((1,) + a.shape[1:], jnp.uint32)], axis=0
-            )
-        # avoid strided slicing (mosaic lowers it as gather): reshape pairs
-        ar = a.reshape(a.shape[0] // 2, 2, a.shape[-1])
-        out = ar[:, 0, :] + (ar[:, 1, :] << 8)
-        return out[:out_rows16]
-
-    def const_mul_acc(M8, s16, out_rows16):
-        """(constant conv-matrix) x s16 -> relaxed base-2^16 digits."""
-        s8 = split8_bf16(s16)
-        acc8 = jax.lax.dot(
-            M8, s8, preferred_element_type=jnp.float32
-        )  # exact: terms < 2^16, <=96 of them
-        return from8(acc8, out_rows16)
-
-    def kernel(ark_ref, band_ref, mdsm_ref, npm_ref, pm_ref, psub_ref, state_ref, out_ref):
+    def kernel(ark0_ref, arkf_ref, band_ref, bandsq_ref, mdsm_ref, npm_ref, pm_ref,
+               psub_ref, state_ref, out_ref):
         band = band_ref[...]
+        bandsq = bandsq_ref[...]
         mdsm = mdsm_ref[...]
         npm = npm_ref[...]
         pm = pm_ref[...]
         psub_c = [psub_ref[0], psub_ref[1]]
+
+        def planes2(x16):
+            """Canonical 16-bit digits -> 2 plane-ordered byte planes (bf16)."""
+            return to_bf16(jnp.concatenate([x16 & 0xFF, x16 >> 8], axis=0))
+
+        def combine(acc8_f32, rows16):
+            """[even | odd] f32 rows -> relaxed 16-bit u32 digits."""
+            a = acc8_f32.astype(jnp.int32)
+            return (a[:rows16] + (a[rows16 : 2 * rows16] << 8)).astype(jnp.uint32)
+
+        def _band_apply(M, v):
+            """Byte-plane band accumulation: one merged matmul over both
+            planes (columns [plane0 | plane1])."""
+            B = v.shape[-1]
+            v0 = to_bf16(v & 0xFF)
+            v1 = to_bf16(v >> 8)
+            both = jax.lax.dot(
+                M, jnp.concatenate([v0, v1], axis=1), preferred_element_type=jnp.float32
+            )
+            a0 = both[:, :B].astype(jnp.int32)
+            a1 = both[:, B:].astype(jnp.int32)
+            return (a0 + (a1 << 8)).astype(jnp.uint32)
 
         def sb_acc(a, b):
             """Variable x variable schoolbook: (L,B)x(L,B) -> relaxed (2L+1,B)."""
@@ -186,22 +221,36 @@ def _make_kernel(spec, config):
             hi = prod >> LIMB_BITS
             B = a.shape[-1]
             v = jnp.concatenate([lo.reshape(L * L, B), hi.reshape(L * L, B)], axis=0)
-            v0 = to_f32(v & 0xFF).astype(jnp.bfloat16)
-            v1 = to_f32(v >> 8).astype(jnp.bfloat16)
-            a0 = jax.lax.dot(band, v0, preferred_element_type=jnp.float32)
-            a1 = jax.lax.dot(band, v1, preferred_element_type=jnp.float32)
-            return (a0.astype(jnp.int32) + (a1.astype(jnp.int32) << 8)).astype(jnp.uint32)
+            return _band_apply(band, v)
+
+        def sq_acc(a):
+            """Squaring schoolbook: upper-triangle pairs only, doubled band
+            weights — 136 products instead of 256."""
+            B = a.shape[-1]
+            U = jnp.concatenate([a[i:] for i in range(L)], axis=0)  # a[j], j>=i
+            V = jnp.concatenate(
+                [jnp.broadcast_to(a[i : i + 1], (L - i, B)) for i in range(L)], axis=0
+            )
+            prod = U * V  # (136, B)
+            v = jnp.concatenate([prod & LIMB_MASK, prod >> LIMB_BITS], axis=0)
+            return _band_apply(bandsq, v)
 
         def mont_reduce(acc, num_products):
-            t_low = carry(acc, L)
-            m = carry(const_mul_acc(npm, t_low, L), L)
-            mp = const_mul_acc(pm, m, 2 * L + 1)
-            if acc.shape[0] < 2 * L + 1:
-                acc = jnp.concatenate(
-                    [acc, jnp.zeros((2 * L + 1 - acc.shape[0],) + acc.shape[1:], jnp.uint32)],
+            """acc: (2L+1, B) relaxed (digits < 2^31).  The n' product
+            consumes the relaxed digits directly (4 byte planes;
+            digit-truncation is exact mod R), so no pre-carry is needed."""
+            a16 = acc[:L]
+            rel4 = to_bf16(
+                jnp.concatenate(
+                    [a16 & 0xFF, (a16 >> 8) & 0xFF, (a16 >> 16) & 0xFF, a16 >> 24],
                     axis=0,
                 )
-            u = carry(acc + mp, 2 * L + 1)[L:]
+            )
+            m8 = jax.lax.dot(npm, rel4, preferred_element_type=jnp.float32)
+            m = carry(combine(m8, L), L)  # canonical m (mod R)
+            mp8 = jax.lax.dot(pm, planes2(m), preferred_element_type=jnp.float32)
+            mp = combine(mp8, OUT16)
+            u = carry(acc + mp, OUT16)[L:]  # (L+1, B)
             max_mult = num_products // 2 + 1
             j = max(max_mult.bit_length() - 1, 0)
             while j >= 0:
@@ -212,6 +261,9 @@ def _make_kernel(spec, config):
         def mont_mul(a, b):
             return mont_reduce(sb_acc(a, b), 1)
 
+        def mont_sqr(a):
+            return mont_reduce(sq_acc(a), 1)
+
         def add_mod(x, y):
             return cond_sub(carry(x + y, L), psub_c[0][:L])
 
@@ -219,34 +271,41 @@ def _make_kernel(spec, config):
             bits = bin(alpha)[2:]
             acc = x
             for bchar in bits[1:]:
-                acc = mont_mul(acc, acc)
+                acc = mont_sqr(acc)
                 if bchar == "1":
                     acc = mont_mul(acc, x)
             return acc
 
         def round_fn(elems, r, full):
-            ark_row = ark_ref[r]  # (t*L, 1)
-            elems = tuple(
-                add_mod(e, jnp.broadcast_to(ark_row[i * L : (i + 1) * L], e.shape))
-                for i, e in enumerate(elems)
-            )
+            """elems enter with this round's ark already included (folded by
+            the previous round's MDS reduce / the round-0 pre-add)."""
             if full:
                 elems = tuple(sbox(e) for e in elems)
             else:
                 elems = (sbox(elems[0]),) + elems[1:]
-            # whole-MDS as one constant matmul over the concatenated state
-            s_all = jnp.concatenate(list(elems), axis=0)  # (t*L, B)
+            # per-element plane blocks to match the block-column layout
+            s_planes = jnp.concatenate([planes2(e) for e in elems], axis=0)
             acc8 = jax.lax.dot(
-                mdsm, split8_bf16(s_all), preferred_element_type=jnp.float32
-            )  # (t*(2D8+1), B)
+                mdsm, s_planes, preferred_element_type=jnp.float32
+            )  # (t*2*OUT16, B)
+            ark_next = arkf_ref[r]  # (t*OUT16, 1): digits of ark[r+1]*R
             new = []
             for i in range(t):
-                acc16 = from8(acc8[i * OD : (i + 1) * OD], 2 * L + 1)
-                new.append(mont_reduce(acc16, t))
+                acc16 = combine(acc8[i * 2 * OUT16 : (i + 1) * 2 * OUT16], OUT16)
+                acc16 = acc16 + jnp.broadcast_to(
+                    ark_next[i * OUT16 : (i + 1) * OUT16], acc16.shape
+                )
+                new.append(mont_reduce(acc16, t + 1))
             return tuple(new)
 
         st = state_ref[...]
         elems = tuple(st[i * L : (i + 1) * L, :] for i in range(t))
+        # round-0 ark pre-add
+        ark0 = ark0_ref[...]
+        elems = tuple(
+            add_mod(e, jnp.broadcast_to(ark0[i * L : (i + 1) * L], e.shape))
+            for i, e in enumerate(elems)
+        )
 
         def full_body(r, elems):
             return round_fn(elems, r, True)
@@ -256,7 +315,7 @@ def _make_kernel(spec, config):
 
         elems = jax.lax.fori_loop(0, rf2, full_body, elems)
         elems = jax.lax.fori_loop(rf2, rf2 + R_P, partial_body, elems)
-        elems = jax.lax.fori_loop(rf2 + R_P, config.full_rounds + R_P, full_body, elems)
+        elems = jax.lax.fori_loop(rf2 + R_P, R_T, full_body, elems)
         out_ref[...] = jnp.concatenate(list(elems), axis=0)
 
     return kernel, consts
@@ -286,11 +345,13 @@ def _build_pallas_permute(spec, config, block_b: int, interpret: bool):
             kernel,
             grid=(Bp // block_b,),
             in_specs=[
-                full_spec(consts["ark"]),
+                full_spec(consts["ark0"]),
+                full_spec(consts["ark_fold"]),
                 full_spec(consts["band"]),
-                full_spec(consts["mds_m8"]),
-                full_spec(consts["nprime_m8"]),
-                full_spec(consts["p_m8"]),
+                full_spec(consts["band_sq"]),
+                full_spec(consts["mds_m"]),
+                full_spec(consts["nprime_m"]),
+                full_spec(consts["p_m"]),
                 full_spec(consts["psub"]),
                 pl.BlockSpec((t * L, block_b), lambda i: (0, i), memory_space=pltpu.VMEM),
             ],
@@ -300,11 +361,13 @@ def _build_pallas_permute(spec, config, block_b: int, interpret: bool):
             out_shape=jax.ShapeDtypeStruct((t * L, Bp), jnp.uint32),
             interpret=interpret,
         )(
-            jnp.asarray(consts["ark"]),
+            jnp.asarray(consts["ark0"]),
+            jnp.asarray(consts["ark_fold"]),
             jnp.asarray(consts["band"], dtype=jnp.bfloat16),
-            jnp.asarray(consts["mds_m8"], dtype=jnp.bfloat16),
-            jnp.asarray(consts["nprime_m8"], dtype=jnp.bfloat16),
-            jnp.asarray(consts["p_m8"], dtype=jnp.bfloat16),
+            jnp.asarray(consts["band_sq"], dtype=jnp.bfloat16),
+            jnp.asarray(consts["mds_m"], dtype=jnp.bfloat16),
+            jnp.asarray(consts["nprime_m"], dtype=jnp.bfloat16),
+            jnp.asarray(consts["p_m"], dtype=jnp.bfloat16),
             jnp.asarray(consts["psub"]),
             st,
         )
