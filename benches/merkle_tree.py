@@ -34,6 +34,7 @@ def bench_sha256_tree(n_leaves: int, rng):
     )
     leaves = np.random.default_rng(0).integers(0, 256, (n_leaves, 32), dtype=np.uint8)
     dev = jnp.asarray(leaves)
+    MerkleTree.new(cfg, None, None, dev)  # warmup (compiles per-level kernels)
     t0 = time.perf_counter()
     tree = MerkleTree.new(cfg, None, None, dev)
     create = time.perf_counter() - t0
@@ -65,6 +66,7 @@ def bench_poseidon_tree(n_leaves: int, rng):
     params = get_default_poseidon_parameters(FR, 2, False)
     leaves = [[rng.randrange(FR.p)] for _ in range(n_leaves)]
     dev = jnp.asarray(FR.pack(leaves))
+    MerkleTree.new(cfg, params, params, dev)  # warmup
     t0 = time.perf_counter()
     MerkleTree.new(cfg, params, params, dev)
     create = time.perf_counter() - t0

@@ -38,6 +38,7 @@ def main():
     keys = [scheme.keygen(params, rng) for _ in range(B)]
     msgs = [bytes(rng.randrange(256) for _ in range(128)) for _ in range(B)]
     sigs = [scheme.sign(params, k[1], m, rng) for k, m in zip(keys, msgs)]
+    scheme.verify_batch(params, [k[0] for k in keys], msgs, sigs)  # warmup/compile
     t0 = time.perf_counter()
     oks = scheme.verify_batch(params, [k[0] for k in keys], msgs, sigs)
     dt = time.perf_counter() - t0

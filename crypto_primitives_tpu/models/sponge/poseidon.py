@@ -174,7 +174,8 @@ class PoseidonSpongeBatch:
         if jax.default_backend() == "tpu" and batch >= 256 and len(self.batch_shape) == 1:
             from crypto_primitives_tpu.ops.poseidon_pallas import permute_pallas
 
-            self.state = permute_pallas(self.spec, self.config, self.state)
+            blk = 1024 if batch >= 1024 else 256
+            self.state = permute_pallas(self.spec, self.config, self.state, block_b=blk)
         else:
             self.state = permute(self.spec, self.packed, self.state)
 
