@@ -84,14 +84,30 @@ def _make_kernel(spec, config):
 
     # ---- constant matrices (bf16-exact entries < 256) ----
     mds_mont = [[spec.to_mont(v) for v in row] for row in config.mds]
-    # whole-MDS: rows = t blocks of [even OUT16 | odd OUT16], cols = t blocks
-    # of 2-plane canonical state digits
-    mds_m = np.zeros((t * 2 * OUT16, t * 2 * L), dtype=np.float32)
-    for i in range(t):
-        for j in range(t):
-            mds_m[
-                i * 2 * OUT16 : (i + 1) * 2 * OUT16, j * 2 * L : (j + 1) * 2 * L
-            ] = _conv_matrix_po(mds_mont[i][j], L, 2, OUT16)
+    # whole-MDS: rows = t blocks of [even OUT16 | odd OUT16], cols = blocks
+    # of 2-plane canonical state digits.  f32 accumulation is exact only up
+    # to 2^24, so the contraction is CHUNKED at <= 8 input elements
+    # (8 * 2L * 255^2 < 2^24); chunk outputs are summed in uint32.
+    MDS_CHUNK = max(1, (1 << 24) // (2 * L * 255 * 255))
+    mds_chunks = [list(range(s, min(s + MDS_CHUNK, t))) for s in range(0, t, MDS_CHUNK)]
+    mds_ms = []
+    for chunk in mds_chunks:
+        m = np.zeros((t * 2 * OUT16, len(chunk) * 2 * L), dtype=np.float32)
+        for i in range(t):
+            for cj, j in enumerate(chunk):
+                m[
+                    i * 2 * OUT16 : (i + 1) * 2 * OUT16,
+                    cj * 2 * L : (cj + 1) * 2 * L,
+                ] = _conv_matrix_po(mds_mont[i][j], L, 2, OUT16)
+        mds_ms.append(m)
+    # pad chunk matrices to a common width so they share one kernel input
+    maxw = max(m.shape[1] for m in mds_ms)
+    mds_m = np.zeros((len(mds_ms), t * 2 * OUT16, maxw), dtype=np.float32)
+    for k, m in enumerate(mds_ms):
+        mds_m[k, :, : m.shape[1]] = m
+    # with >1 chunk (or t near the bound) the combined 8-digit values can
+    # overflow the uint32 16-bit recombine; insert a compression pass then
+    NEEDS_COMPRESS = len(mds_chunks) > 1 or t * 2 * L * 255 * 255 >= (1 << 24)
     # n' matmul: consumes 4-plane RELAXED accumulator rows 0..L-1 (digits up
     # to 2^31 from the MDS path); output truncated at 8-digit 2L-1 == mod R
     # (exact; discarded high-position terms are multiples of R)
@@ -110,10 +126,12 @@ def _make_kernel(spec, config):
             band_sq[i + j + 1, n_pairs + k] = w  # hi half-product
             k += 1
 
-    # small uint32 constants: p<<j for conditional subtraction (L+1 rows)
-    psub_np = np.zeros((2, L + 1, 1), dtype=np.uint32)
+    # small uint32 constants: p<<j for conditional subtraction (L+1 rows);
+    # 4p needed for wide-rate MDS reductions (u < ~(t/2+2) p)
+    psub_np = np.zeros((3, L + 1, 1), dtype=np.uint32)
     psub_np[0, :, 0] = _int_to_limbs(p_int, L + 1)
     psub_np[1, :, 0] = _int_to_limbs(p_int << 1, L + 1)
+    psub_np[2, :, 0] = _int_to_limbs(p_int << 2, L + 1)
 
     # ark tables: round-0 ark as canonical Montgomery limbs for the pre-add;
     # rounds 1..R-1 folded into the previous round's MDS accumulator as the
@@ -190,7 +208,7 @@ def _make_kernel(spec, config):
         mdsm = mdsm_ref[...]
         npm = npm_ref[...]
         pm = pm_ref[...]
-        psub_c = [psub_ref[0], psub_ref[1]]
+        psub_c = [psub_ref[0], psub_ref[1], psub_ref[2]]
 
         def planes2(x16):
             """Canonical 16-bit digits -> 2 plane-ordered byte planes (bf16)."""
@@ -283,15 +301,33 @@ def _make_kernel(spec, config):
                 elems = tuple(sbox(e) for e in elems)
             else:
                 elems = (sbox(elems[0]),) + elems[1:]
-            # per-element plane blocks to match the block-column layout
-            s_planes = jnp.concatenate([planes2(e) for e in elems], axis=0)
-            acc8 = jax.lax.dot(
-                mdsm, s_planes, preferred_element_type=jnp.float32
-            )  # (t*2*OUT16, B)
+            # chunked whole-MDS matmuls, uint-summed in the 8-digit domain
+            B = elems[0].shape[-1]
+            acc8u = None
+            for k, chunk in enumerate(mds_chunks):
+                sp = jnp.concatenate([planes2(elems[j]) for j in chunk], axis=0)
+                if sp.shape[0] < mdsm.shape[-1]:
+                    sp = jnp.concatenate(
+                        [sp, jnp.zeros((mdsm.shape[-1] - sp.shape[0], B), sp.dtype)],
+                        axis=0,
+                    )
+                part = jax.lax.dot(
+                    mdsm[k], sp, preferred_element_type=jnp.float32
+                ).astype(jnp.int32)
+                acc8u = part if acc8u is None else acc8u + part
+            acc8u = acc8u.astype(jnp.uint32)
             ark_next = arkf_ref[r]  # (t*OUT16, 1): digits of ark[r+1]*R
             new = []
             for i in range(t):
-                acc16 = combine(acc8[i * 2 * OUT16 : (i + 1) * 2 * OUT16], OUT16)
+                blk = acc8u[i * 2 * OUT16 : (i + 1) * 2 * OUT16]
+                e8, o8 = blk[:OUT16], blk[OUT16:]
+                if NEEDS_COMPRESS:
+                    # one 8-digit compression pass (permuted even/odd order)
+                    e8, o8 = (
+                        (e8 & 0xFF) + shift_up(o8 >> 8, 1),
+                        (o8 & 0xFF) + (e8 >> 8),
+                    )
+                acc16 = e8 + (o8 << 8)
                 acc16 = acc16 + jnp.broadcast_to(
                     ark_next[i * OUT16 : (i + 1) * OUT16], acc16.shape
                 )

@@ -35,3 +35,18 @@ def test_pallas_kernel_padding(rng):
     oracle.state = list(states[2])
     oracle.permute()
     assert [int(v) for v in FR.unpack(out[2])] == oracle.state
+
+
+@pytest.mark.parametrize("rate", [3, 8])
+def test_pallas_kernel_wide_rates(rng, rate):
+    """t=4 and t=9 exercise the chunked MDS matmul and the 8-digit
+    compression pass (f32-exactness bounds)."""
+    cfg = get_default_poseidon_parameters(FR, rate, False)
+    states = [[rng.randrange(FR.p) for _ in range(cfg.t)] for _ in range(2)]
+    dev = jnp.asarray(FR.pack(states))
+    out = np.asarray(permute_pallas(FR, cfg, dev, block_b=128, interpret=True))
+    for i in range(2):
+        oracle = PoseidonSponge(cfg)
+        oracle.state = list(states[i])
+        oracle.permute()
+        assert [int(v) for v in FR.unpack(out[i])] == oracle.state
