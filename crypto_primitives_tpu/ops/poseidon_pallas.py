@@ -5,7 +5,7 @@ field-mul intermediate to HBM (~50 MB per multiplication at B=8192), making
 it bandwidth-bound at ~1.4e5 perm/s.  This kernel keeps the entire
 (rounds x muls) pipeline in VMEM with the batch riding the 128-lane axis.
 
-Design (v2, after ablation-driven tuning — see PERFORMANCE.md):
+Design (v4, after ablation-driven tuning — see PERFORMANCE.md):
   * **constant x variable** multiplications (the whole MDS application and
     the n'/p products inside every Montgomery reduction) are single exact
     bf16 matmuls against precomputed base-256 convolution matrices of the
@@ -20,8 +20,10 @@ Design (v2, after ablation-driven tuning — see PERFORMANCE.md):
     ark_mont * R in accumulator digits), eliminating standalone
     add-mod carry chains; round 0's ark is applied once before the loop.
   * **variable x variable** (s-box squaring chains): uint32 VPU schoolbook
-    products, anti-diagonal accumulation via two byte-plane bf16 matmuls
-    against a fixed 0/1 band matrix.
+    products, anti-diagonal accumulation as a pure-VPU chain of padded row
+    adds (measured faster than MXU band matmuls, whose per-call overhead
+    dominated); squarings use upper-triangle products with doubled
+    off-diagonal terms.
   * carries/borrows are log-depth Kogge-Stone prefix scans on sublanes.
 
 Montgomery form and round scheduling remain bit-identical to the XLA path
@@ -39,7 +41,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from crypto_primitives_tpu.ops.field import LIMB_BITS, LIMB_MASK, _band_matrix, _int_to_limbs
+from crypto_primitives_tpu.ops.field import LIMB_BITS, LIMB_MASK, _int_to_limbs
 
 DEFAULT_BLOCK = 256  # batch lanes per grid step
 
@@ -114,17 +116,6 @@ def _make_kernel(spec, config):
     nprime_m = _conv_matrix_po(spec.n_prime, L, 4, L)
     # p matmul: canonical m (2 planes) -> full product digits
     p_m = _conv_matrix_po(p_int, L, 2, OUT16)
-    band_m2t = _band_matrix(L).T.astype(np.float32)  # (2L+1, 2L^2)
-    # squaring band: upper-triangle pairs (i <= j), weight 2 for i < j
-    n_pairs = L * (L + 1) // 2
-    band_sq = np.zeros((2 * L + 1, 2 * n_pairs), dtype=np.float32)
-    k = 0
-    for i in range(L):
-        for j in range(i, L):
-            w = 1.0 if i == j else 2.0
-            band_sq[i + j, k] = w  # lo half-product
-            band_sq[i + j + 1, n_pairs + k] = w  # hi half-product
-            k += 1
 
     # small uint32 constants: p<<j for conditional subtraction (L+1 rows);
     # 4p needed for wide-rate MDS reductions (u < ~(t/2+2) p)
@@ -147,7 +138,7 @@ def _make_kernel(spec, config):
 
     consts = dict(
         ark0=ark0_np, ark_fold=ark_fold_np, mds_m=mds_m, nprime_m=nprime_m,
-        p_m=p_m, band=band_m2t, band_sq=band_sq, psub=psub_np,
+        p_m=p_m, psub=psub_np,
     )
 
     def shift_up(x, s):
@@ -201,10 +192,8 @@ def _make_kernel(spec, config):
     def to_bf16(x_u32):
         return to_f32(x_u32).astype(jnp.bfloat16)
 
-    def kernel(ark0_ref, arkf_ref, band_ref, bandsq_ref, mdsm_ref, npm_ref, pm_ref,
+    def kernel(ark0_ref, arkf_ref, mdsm_ref, npm_ref, pm_ref,
                psub_ref, state_ref, out_ref):
-        band = band_ref[...]
-        bandsq = bandsq_ref[...]
         mdsm = mdsm_ref[...]
         npm = npm_ref[...]
         pm = pm_ref[...]
@@ -219,39 +208,50 @@ def _make_kernel(spec, config):
             a = acc8_f32.astype(jnp.int32)
             return (a[:rows16] + (a[rows16 : 2 * rows16] << 8)).astype(jnp.uint32)
 
-        def _band_apply(M, v):
-            """Byte-plane band accumulation: one merged matmul over both
-            planes (columns [plane0 | plane1])."""
-            B = v.shape[-1]
-            v0 = to_bf16(v & 0xFF)
-            v1 = to_bf16(v >> 8)
-            both = jax.lax.dot(
-                M, jnp.concatenate([v0, v1], axis=1), preferred_element_type=jnp.float32
-            )
-            a0 = both[:, :B].astype(jnp.int32)
-            a1 = both[:, B:].astype(jnp.int32)
-            return (a0 + (a1 << 8)).astype(jnp.uint32)
+        def _padded(x, before, after, B):
+            parts = []
+            if before:
+                parts.append(jnp.zeros((before, B), jnp.uint32))
+            parts.append(x)
+            if after:
+                parts.append(jnp.zeros((after, B), jnp.uint32))
+            return jnp.concatenate(parts, axis=0) if len(parts) > 1 else x
 
         def sb_acc(a, b):
-            """Variable x variable schoolbook: (L,B)x(L,B) -> relaxed (2L+1,B)."""
+            """Variable x variable schoolbook: (L,B)x(L,B) -> relaxed (2L+1,B).
+
+            Anti-diagonal accumulation is a pure-VPU chain of padded row adds
+            — measured faster than the earlier byte-plane MXU band matmuls,
+            whose per-call overhead dominated (PERFORMANCE.md ablations).
+            Each digit accumulates <= 2L values < 2^16 -> < 2^21, exact u32.
+            """
+            B = a.shape[-1]
             prod = a[:, None, :] * b[None, :, :]  # (L, L, B) u32 exact
             lo = prod & LIMB_MASK
             hi = prod >> LIMB_BITS
-            B = a.shape[-1]
-            v = jnp.concatenate([lo.reshape(L * L, B), hi.reshape(L * L, B)], axis=0)
-            return _band_apply(band, v)
+            acc = None
+            for i in range(L):
+                r = _padded(lo[i], i, L + 1 - i, B) + _padded(hi[i], i + 1, L - i, B)
+                acc = r if acc is None else acc + r
+            return acc
 
         def sq_acc(a):
-            """Squaring schoolbook: upper-triangle pairs only, doubled band
-            weights — 136 products instead of 256."""
+            """Squaring schoolbook: upper-triangle products, off-diagonal
+            terms doubled by a shift — roughly halves the products and adds."""
             B = a.shape[-1]
-            U = jnp.concatenate([a[i:] for i in range(L)], axis=0)  # a[j], j>=i
-            V = jnp.concatenate(
-                [jnp.broadcast_to(a[i : i + 1], (L - i, B)) for i in range(L)], axis=0
-            )
-            prod = U * V  # (136, B)
-            v = jnp.concatenate([prod & LIMB_MASK, prod >> LIMB_BITS], axis=0)
-            return _band_apply(bandsq, v)
+            acc = None
+            for i in range(L):
+                row = a[i : i + 1] * a[i:]  # (L - i, B): a_i * a_j for j >= i
+                lo = row & LIMB_MASK
+                hi = row >> LIMB_BITS
+                # double the j > i terms (they appear twice in the square)
+                dbl_lo = jnp.concatenate([lo[:1], lo[1:] << 1], axis=0) if L - i > 1 else lo
+                dbl_hi = jnp.concatenate([hi[:1], hi[1:] << 1], axis=0) if L - i > 1 else hi
+                r = _padded(dbl_lo, 2 * i, L - i + 1, B) + _padded(
+                    dbl_hi, 2 * i + 1, L - i, B
+                )
+                acc = r if acc is None else acc + r
+            return acc
 
         def mont_reduce(acc, num_products):
             """acc: (2L+1, B) relaxed (digits < 2^31).  The n' product
@@ -383,8 +383,6 @@ def _build_pallas_permute(spec, config, block_b: int, interpret: bool):
             in_specs=[
                 full_spec(consts["ark0"]),
                 full_spec(consts["ark_fold"]),
-                full_spec(consts["band"]),
-                full_spec(consts["band_sq"]),
                 full_spec(consts["mds_m"]),
                 full_spec(consts["nprime_m"]),
                 full_spec(consts["p_m"]),
@@ -399,8 +397,6 @@ def _build_pallas_permute(spec, config, block_b: int, interpret: bool):
         )(
             jnp.asarray(consts["ark0"]),
             jnp.asarray(consts["ark_fold"]),
-            jnp.asarray(consts["band"], dtype=jnp.bfloat16),
-            jnp.asarray(consts["band_sq"], dtype=jnp.bfloat16),
             jnp.asarray(consts["mds_m"], dtype=jnp.bfloat16),
             jnp.asarray(consts["nprime_m"], dtype=jnp.bfloat16),
             jnp.asarray(consts["p_m"], dtype=jnp.bfloat16),
