@@ -1,0 +1,273 @@
+"""RNS-Montgomery plan for f32/bf16 TPU field multiplication.
+
+Represents BLS12-381 Fr elements (and any odd-prime field < 2^{~268}) in a
+residue number system over two bases of K eleven-bit primes each.  Field
+multiplication becomes per-residue f32 work (products < 2^24 stay exact in
+f32) plus two Kawamura-style base extensions, each a single exact bf16
+matmul over 6-bit digit planes — MXU work.  This is the TPU-native
+replacement for CPU Montgomery limb arithmetic; semantics match the
+Montgomery-domain muls behind arkworks' Poseidon permutation
+(reference: crypto-primitives/src/sponge/poseidon/mod.rs:98-121).
+
+Key invariants (validated in tools/rns_design.py and tests):
+  * residues are stored "lazy" in [0, 2m) with m < 2^11, so all f32
+    products of residues are < 2^24 (exact);
+  * Barrett reduction r = w - floor(w * inv_m) * m with inv_m rounded
+    toward zero never produces negative values and lands in [0, 2m);
+  * base-2 residues are stored tau-twisted (tau_j = (M2/m_j)^{-1} mod
+    m_j), which lets the second base extension consume stored values
+    directly; the twist is folded into the ext1 matrix (tau^2) and the
+    M1^{-1} constant (tau^{-1});
+  * mont_mul closes over values < BETA*p with BETA = 4 (needs M1, M2 >
+    16p, guaranteed by the interleaved prime split);
+  * lambda (the CRT overflow count) rides extra matmul rows; delta
+    offsets: ext1 uses -1/16 (one-sided underestimate, q_hat in
+    {q, q+M1}), ext2 uses +1/2 (exact, since result/M2 < 0.2 and the
+    approximation error is < 0.05).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import numpy as np
+
+K = 24  # residues per base
+DIGIT = 6  # bits per matmul digit plane
+LAM_SHIFT = 20  # lambda approximation scale
+DELTA1 = -0.0625  # ext1 offset: one-sided (never overestimate lambda)
+DELTA2 = 0.5  # ext2 offset: exact extension
+
+
+def _small_primes_desc(bound: int, count: int) -> list[int]:
+    out = []
+    x = bound - 1
+    while len(out) < count:
+        is_p = x > 1 and all(x % d for d in range(2, int(x**0.5) + 1))
+        if is_p:
+            out.append(x)
+        x -= 1
+    return out
+
+
+def _inv(a: int, m: int) -> int:
+    return pow(a, -1, m)
+
+
+def _digits(v: np.ndarray, ndig: int) -> list[np.ndarray]:
+    out = []
+    v = v.astype(np.int64)
+    for _ in range(ndig):
+        out.append(v & ((1 << DIGIT) - 1))
+        v = v >> DIGIT
+    return out
+
+
+@dataclass(frozen=True)
+class RNSPlan:
+    """All constants for RNS-Montgomery mul over a prime p.  Arrays are
+    numpy; the Pallas kernel loads them as (rows, 1) f32 / bf16 operands."""
+
+    p: int
+    m1: np.ndarray  # (K,) int64 base-1 moduli
+    m2: np.ndarray  # (K,) base-2 moduli
+    M1: int
+    M2: int
+    inv_m1: np.ndarray  # (K,) f32, rounded toward zero
+    inv_m2: np.ndarray
+    c_sigma: np.ndarray  # (K,) f32: (-p^-1 * (M1/m_i)^-1) mod m_i
+    p2: np.ndarray  # (K,) f32: p mod m2_j
+    c2: np.ndarray  # (K,) f32: M1^-1 * tau^-1 mod m2_j
+    tau: np.ndarray  # (K,) int64: (M2/m_j)^-1 mod m2_j
+    negM1: np.ndarray  # (K,) f32: (-M1 * tau^2) mod m2_j
+    negM2: np.ndarray  # (K,) f32: -M2 mod m1_i
+    ext1_w: np.ndarray  # (K + 1, 3K + 2? ) see build: bf16 matmul weights
+    ext2_w: np.ndarray
+    mont_one: tuple  # RNS residues of M1 mod p (Montgomery one)
+
+    @property
+    def rows(self) -> int:
+        return 2 * K
+
+
+def _ext_matrix(c_cols: np.ndarray, m_out: np.ndarray, lam_w: np.ndarray):
+    """Build the digit-split extension matmul weights.
+
+    Input vector (per batch lane): [s_d0 (K rows); s_d1 (K rows)] — the two
+    6-bit digits of the K source residues (values < 2^12).
+    Output rows: [S0 (K); S1 (K); S2 (K); L0 (1); L1 (1)] where
+      S_d[j] = sum_i  sum_{a+b=d} s_da[i] * c_db[j,i]
+      L_d    = sum_i  s_dd?  — lambda rows: L0 = sum s_d0[i]*w0[i] + ...
+    c_cols: (K_out, K_in) int64 matrix of constants (< 2^11 -> 2 digits).
+    lam_w: (K_in,) int64 lambda weights (< 2^11 -> 2 digits).
+    Returns (W, n_out) with W shape (3*K_out + 2, 2*K_in) float32 of values
+    < 2^6 (bf16-exact).
+    """
+    k_out, k_in = c_cols.shape
+    c0, c1 = _digits(c_cols, 2)
+    w0, w1 = _digits(lam_w, 2)
+    W = np.zeros((3 * k_out + 3, 2 * k_in), dtype=np.float32)
+    # S0 = d0 @ c0.T
+    W[0:k_out, 0:k_in] = c0
+    # S1 = d0 @ c1.T + d1 @ c0.T
+    W[k_out : 2 * k_out, 0:k_in] = c1
+    W[k_out : 2 * k_out, k_in : 2 * k_in] = c0
+    # S2 = d1 @ c1.T
+    W[2 * k_out : 3 * k_out, k_in : 2 * k_in] = c1
+    # lambda rows, same digit structure: lam_v = L0 + 64*L1 + 4096*L2 where
+    # lam_v = sum_i s_i * lam_w_i (f32-rounded in the L2 term, error << 1)
+    W[3 * k_out, 0:k_in] = w0
+    W[3 * k_out + 1, 0:k_in] = w1
+    W[3 * k_out + 1, k_in : 2 * k_in] = w0
+    W[3 * k_out + 2, k_in : 2 * k_in] = w1
+    # every entry must be a bf16-exact small integer (< 2^6 here)
+    assert np.all((W >= 0) & (W < 64) & (W == np.floor(W)))
+    return W
+
+
+@functools.cache
+def build_plan(p: int) -> RNSPlan:
+    primes = _small_primes_desc(2048, 2 * K)
+    b1, b2 = primes[0::2], primes[1::2]
+    m1 = np.array(b1, dtype=np.int64)
+    m2 = np.array(b2, dtype=np.int64)
+    M1 = 1
+    for m in b1:
+        M1 *= m
+    M2 = 1
+    for m in b2:
+        M2 *= m
+    assert M1 > 16 * p and M2 > 16 * p, "bases too small for beta=4 fixpoint"
+    inv_m1 = np.nextafter((1.0 / m1).astype(np.float32), np.float32(0))
+    inv_m2 = np.nextafter((1.0 / m2).astype(np.float32), np.float32(0))
+    c_sigma = np.array(
+        [(-_inv(p, m) * _inv(M1 // m, m)) % m for m in b1], dtype=np.int64
+    )
+    tau = np.array([_inv(M2 // m, m) for m in b2], dtype=np.int64)
+    C1 = np.array([[(M1 // mi) % mj for mi in b1] for mj in b2], dtype=np.int64)
+    C1 = (C1 * (tau[:, None] ** 2 % m2[:, None])) % m2[:, None]
+    negM1 = np.array(
+        [((-M1) % int(m)) * (int(t) ** 2 % int(m)) % int(m) for m, t in zip(b2, tau)],
+        dtype=np.int64,
+    )
+    p2 = np.array([p % m for m in b2], dtype=np.int64)
+    c2 = np.array(
+        [(_inv(M1, m) * _inv(int(t), m)) % m for m, t in zip(b2, tau)],
+        dtype=np.int64,
+    )
+    C2 = np.array([[(M2 // mj) % mi for mj in b2] for mi in b1], dtype=np.int64)
+    negM2 = np.array([(-M2) % m for m in b1], dtype=np.int64)
+    lam_w1 = np.array([round(2**LAM_SHIFT / m) for m in b1], dtype=np.int64)
+    lam_w2 = np.array([round(2**LAM_SHIFT / m) for m in b2], dtype=np.int64)
+    ext1_w = _ext_matrix(C1, m2, lam_w1)
+    ext2_w = _ext_matrix(C2, m1, lam_w2)
+    mont_one_int = M1 % p
+    plan = RNSPlan(
+        p=p,
+        m1=m1,
+        m2=m2,
+        M1=M1,
+        M2=M2,
+        inv_m1=inv_m1,
+        inv_m2=inv_m2,
+        c_sigma=c_sigma.astype(np.float32),
+        p2=p2.astype(np.float32),
+        c2=c2.astype(np.float32),
+        tau=tau,
+        negM1=negM1.astype(np.float32),
+        negM2=negM2.astype(np.float32),
+        ext1_w=ext1_w,
+        ext2_w=ext2_w,
+        mont_one=(),
+    )
+    object.__setattr__(plan, "mont_one", to_rns(plan, mont_one_int))
+    return plan
+
+
+def to_rns(plan: RNSPlan, x) -> tuple[np.ndarray, np.ndarray]:
+    """Python int (or array of objects) -> (r1, r2) f32 residues, r2
+    tau-twisted.  NOT Montgomery: pass x*M1 %% p yourself for Mont form."""
+    xs = np.asarray(x, dtype=object).reshape(-1)
+    r1 = np.empty((len(xs), K), dtype=np.float32)
+    r2 = np.empty((len(xs), K), dtype=np.float32)
+    for n, v in enumerate(xs):
+        v = int(v)
+        r1[n] = [v % int(m) for m in plan.m1]
+        r2[n] = [(v * int(t)) % int(m) for m, t in zip(plan.m2, plan.tau)]
+    shape = np.asarray(x, dtype=object).shape
+    return r1.reshape(shape + (K,)), r2.reshape(shape + (K,))
+
+
+def from_rns(plan: RNSPlan, r1: np.ndarray):
+    """Base-1 residues -> python ints mod M1 (callers reduce mod p)."""
+    r = np.asarray(r1, dtype=np.int64)
+    flat = r.reshape(-1, K)
+    out = np.empty(flat.shape[0], dtype=object)
+    pre = [
+        (plan.M1 // int(m)) * _inv(plan.M1 // int(m), int(m)) for m in plan.m1
+    ]
+    for n in range(flat.shape[0]):
+        acc = 0
+        for ri, mi, c in zip(flat[n], plan.m1, pre):
+            acc += (int(ri) % int(mi)) * c
+        out[n] = acc % plan.M1
+    return out.reshape(r.shape[:-1])
+
+
+# ---------------------------------------------------------------------------
+# Faithful numpy-f32 emulation of the kernel ops (reference for tests).
+# Every operation below maps 1:1 onto a Pallas kernel op.
+# ---------------------------------------------------------------------------
+
+F = np.float32
+
+
+def red(w, inv_m, m):
+    """Barrett reduce, exact f32 emulation: result in [0, 2m)."""
+    q = np.floor(F(w) * F(inv_m))
+    return F(F(w) - F(q) * F(m))
+
+
+def _ext(plan: RNSPlan, s, W, negM, inv_out, m_out, delta):
+    """Base extension: s (..., K) lazy residues -> (..., K) residues of the
+    represented integer (+ {0,1} * M_src for ext1's one-sided delta)."""
+    s = F(s)
+    s0 = F(np.floor(s * F(2.0**-DIGIT)))
+    d0 = F(s - s0 * F(2.0**DIGIT))  # low digit
+    x = np.concatenate([d0, s0], axis=-1)  # (..., 2K)
+    out = F(x @ W.T.astype(np.float32))  # kernel: bf16 matmul, f32 accum
+    S0, S1, S2 = out[..., :K], out[..., K : 2 * K], out[..., 2 * K : 3 * K]
+    L0, L1, L2 = out[..., 3 * K], out[..., 3 * K + 1], out[..., 3 * K + 2]
+    lam_v = F(F(L0 + F(64.0) * L1) + F(4096.0) * L2)
+    lam = np.floor(lam_v * F(2.0**-LAM_SHIFT) + F(delta))[..., None]
+    v1 = red(F(S0 + F(64.0) * S1), inv_out, m_out)
+    s2r = red(S2, inv_out, m_out)
+    k12 = F(np.asarray([(1 << 12) % int(m) for m in m_out], dtype=np.float32))
+    v = red(F(v1 + s2r * k12), inv_out, m_out)
+    v = red(F(v + F(lam) * F(negM)), inv_out, m_out)
+    return v
+
+
+def mont_mul_np(plan: RNSPlan, a, b):
+    """(a1, a2twisted) x (b1, b2twisted) -> result pair; value < 4p."""
+    a1, a2 = a
+    b1, b2 = b
+    w1 = red(F(a1) * F(b1), plan.inv_m1, F(plan.m1))
+    w2 = red(F(a2) * F(b2), plan.inv_m2, F(plan.m2))
+    s1 = red(w1 * plan.c_sigma, plan.inv_m1, F(plan.m1))
+    qh = _ext(plan, s1, plan.ext1_w, plan.negM1, plan.inv_m2, F(plan.m2), DELTA1)
+    t0 = red(F(w2 + qh * plan.p2), plan.inv_m2, F(plan.m2))
+    omega = red(t0 * plan.c2, plan.inv_m2, F(plan.m2))
+    r1 = _ext(plan, omega, plan.ext2_w, plan.negM2, plan.inv_m1, F(plan.m1), DELTA2)
+    return r1, omega
+
+
+def add_np(plan: RNSPlan, a, b):
+    """Lazy add: (a1+b1, a2+b2) reduced back under 2m per base."""
+    a1, a2 = a
+    b1, b2 = b
+    return (
+        red(F(a1) + F(b1), plan.inv_m1, F(plan.m1)),
+        red(F(a2) + F(b2), plan.inv_m2, F(plan.m2)),
+    )
