@@ -1,0 +1,295 @@
+"""Fused Pallas TPU kernel for the Poseidon permutation over RNS residues.
+
+v5 of the Poseidon compute path (see PERFORMANCE.md for the lineage).  The
+v4 limb kernel is VPU-issue-bound at ~1.1M lane-ops/permutation; this
+kernel represents field elements in the RNS-Montgomery system of
+ops/rns.py (2x24 eleven-bit prime residues, f32 arithmetic) where a field
+multiplication costs ~1.3k lane-ops plus two small exact-bf16 MXU matmuls
+(the Kawamura base extensions), for a ~2.5x lower VPU op count.
+
+State layout: (t * 2K, B) float32 in VMEM — per element, rows 0:K are
+base-1 residues, rows K:2K are tau-twisted base-2 residues, all lazy in
+[0, 2m).  The whole permutation (all rounds, s-boxes, MDS) runs in VMEM;
+round scheduling is bit-identical to the XLA path / host oracle
+(reference semantics: crypto-primitives/src/sponge/poseidon/mod.rs:98-121):
+ark[r] is added before the round-r s-box (folded into the previous
+round's MDS reduction), full MDS every round.
+
+MDS and ark constants are stored as plain (non-Montgomery) residues so
+the linear layer needs no Montgomery reduction — products are reduced
+per-residue only (Barrett), keeping Montgomery form intact.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from crypto_primitives_tpu.ops import rns
+from crypto_primitives_tpu.ops.rns import DELTA1, DELTA2, DIGIT, K, LAM_SHIFT
+
+DEFAULT_BLOCK = 1024
+
+
+def _plan_consts(plan: rns.RNSPlan, config):
+    """Precompute all kernel constant arrays for (field plan, poseidon cfg)."""
+    t = config.t
+    p = plan.p
+    col = lambda a: np.asarray(a, dtype=np.float32).reshape(-1, 1)
+    # stacked per-base vectors over 2K rows
+    inv_all = col(np.concatenate([plan.inv_m1, plan.inv_m2]))
+    m_all = col(np.concatenate([plan.m1, plan.m2]))
+    k12 = lambda ms: col([(1 << 12) % int(m) for m in ms])
+    consts = dict(
+        inv_all=inv_all,
+        m_all=m_all,
+        inv1=col(plan.inv_m1),
+        m1=col(plan.m1.astype(np.float32)),
+        inv2=col(plan.inv_m2),
+        m2=col(plan.m2.astype(np.float32)),
+        c_sigma=col(plan.c_sigma),
+        p2=col(plan.p2),
+        c2=col(plan.c2),
+        negM1=col(plan.negM1),
+        negM2=col(plan.negM2),
+        k12_1=k12(plan.m1),
+        k12_2=k12(plan.m2),
+        ext1_w=plan.ext1_w,  # (3K+3, 2K)
+        ext2_w=plan.ext2_w,
+    )
+    # MDS as plain residues, stacked over both bases: (t, t, 2K, 1)
+    def rns_rows(v: int, twisted: bool = True) -> np.ndarray:
+        r1 = [v % int(m) for m in plan.m1]
+        r2 = [
+            (v * (int(tw) if twisted else 1)) % int(m)
+            for m, tw in zip(plan.m2, plan.tau)
+        ]
+        return np.asarray(r1 + r2, dtype=np.float32)
+
+    # MDS in Montgomery form, B2 twisted: products against state residues
+    # carry tau^2, matching mont_reduce's expectation (like a*b products)
+    mds = np.zeros((t, t, 2 * K, 1), dtype=np.float32)
+    for i in range(t):
+        for j in range(t):
+            mds[i, j, :, 0] = rns_rows(int(config.mds[i][j]) * plan.M1 % p)
+    consts["mds"] = mds
+    # ark in Montgomery form (ark * M1 mod p), rounds 1.. folded after MDS;
+    # row r holds ark[r+1]; last row zero.  ark0 applied at entry.
+    R_T = config.full_rounds + config.partial_rounds
+    arkf = np.zeros((R_T, t * 2 * K, 1), dtype=np.float32)
+    for r in range(R_T - 1):
+        for i in range(t):
+            arkf[r, i * 2 * K : (i + 1) * 2 * K, 0] = rns_rows(
+                int(config.ark[r + 1][i]) * plan.M1 % p
+            )
+    ark0 = np.zeros((t * 2 * K, 1), dtype=np.float32)
+    for i in range(t):
+        ark0[i * 2 * K : (i + 1) * 2 * K, 0] = rns_rows(
+            int(config.ark[0][i]) * plan.M1 % p
+        )
+    consts["arkf"] = arkf
+    consts["ark0"] = ark0
+    return consts
+
+
+def _make_kernel(plan: rns.RNSPlan, config):
+    t = config.t
+    alpha = config.alpha
+    rf2 = config.full_rounds // 2
+    R_P = config.partial_rounds
+    R_T = config.full_rounds + R_P
+    consts = _plan_consts(plan, config)
+    f32 = jnp.float32
+
+    def kernel(ark0_ref, arkf_ref, mds_ref, e1w_ref, e2w_ref, vec_ref, state_ref, out_ref):
+        # vec_ref packs the 12 per-base column constants as (12, 2K, 1)
+        v = vec_ref[...]
+        inv_all, m_all = v[0], v[1]
+        inv1, m1 = v[2, :K], v[3, :K]
+        inv2, m2 = v[4, :K], v[5, :K]
+        c_sigma = v[6, :K]
+        p2, c2 = v[7, :K], v[8, :K]
+        negM1, negM2 = v[9, :K], v[10, :K]
+        k12_1, k12_2 = v[11, :K], v[12, :K]
+        e1w = e1w_ref[...]
+        e2w = e2w_ref[...]
+        mdsc = mds_ref[...]
+
+        def red(w, inv, m):
+            q = jnp.floor(w * inv)
+            return w - q * m
+
+        def ext(s, W, negM, inv, m, k12, delta):
+            d1 = jnp.floor(s * f32(2.0**-DIGIT))
+            d0 = s - d1 * f32(1 << DIGIT)
+            x = jnp.concatenate([d0, d1], axis=0).astype(jnp.bfloat16)
+            out = jax.lax.dot(W, x, preferred_element_type=f32)
+            S0, S1, S2 = out[:K], out[K : 2 * K], out[2 * K : 3 * K]
+            L0, L1, L2 = out[3 * K : 3 * K + 1], out[3 * K + 1 : 3 * K + 2], out[3 * K + 2 :]
+            lam_v = (L0 + f32(64.0) * L1) + f32(4096.0) * L2
+            lam = jnp.floor(lam_v * f32(2.0**-LAM_SHIFT) + f32(delta))
+            v1 = red(S0 + f32(64.0) * S1, inv, m)
+            s2r = red(S2, inv, m)
+            u = red(v1 + s2r * k12, inv, m)
+            return red(u + lam * negM, inv, m)
+
+        def mont_reduce(w):
+            """w: (2K, B) lazy residues of an integer < p*M1 (B2 rows
+            tau^2-twisted) -> residues of W*M1^{-1} mod p, value < 3p."""
+            s1 = red(w[:K] * c_sigma, inv1, m1)
+            qh = ext(s1, e1w, negM1, inv2, m2, k12_2, DELTA1)
+            t0 = red(w[K:] + qh * p2, inv2, m2)
+            om = red(t0 * c2, inv2, m2)
+            r1 = ext(om, e2w, negM2, inv1, m1, k12_1, DELTA2)
+            return jnp.concatenate([r1, om], axis=0)
+
+        def mont_mul(a, b):
+            return mont_reduce(red(a * b, inv_all, m_all))
+
+        def sbox(x):
+            bits = bin(alpha)[2:]
+            acc = x
+            for bchar in bits[1:]:
+                acc = mont_mul(acc, acc)
+                if bchar == "1":
+                    acc = mont_mul(acc, x)
+            return acc
+
+        def mds_ark(elems, r):
+            """MDS row dot (lazy residue accumulation, Barrett between
+            terms) -> full Montgomery reduction (integer bound < 12p^2 <
+            p*M1) -> fold in ark[r+1].  Residues stay < 2m throughout."""
+            ark_next = arkf_ref[r]  # (t*2K, 1)
+            new = []
+            for i in range(t):
+                acc = None
+                for j in range(t):
+                    term = elems[j] * mdsc[i, j]
+                    if acc is None:
+                        acc = term
+                    else:
+                        acc = red(acc + term, inv_all, m_all)
+                acc = mont_reduce(red(acc, inv_all, m_all))
+                arow = jnp.broadcast_to(
+                    ark_next[i * 2 * K : (i + 1) * 2 * K], acc.shape
+                )
+                new.append(red(acc + arow, inv_all, m_all))
+            return tuple(new)
+
+        def round_fn(elems, r, full):
+            if full:
+                elems = tuple(sbox(e) for e in elems)
+            else:
+                elems = (sbox(elems[0]),) + elems[1:]
+            return mds_ark(elems, r)
+
+        st = state_ref[...]
+        elems = tuple(st[i * 2 * K : (i + 1) * 2 * K] for i in range(t))
+        ark0 = ark0_ref[...]
+        elems = tuple(
+            red(
+                e + jnp.broadcast_to(ark0[i * 2 * K : (i + 1) * 2 * K], e.shape),
+                inv_all,
+                m_all,
+            )
+            for i, e in enumerate(elems)
+        )
+        elems = jax.lax.fori_loop(0, rf2, lambda r, es: round_fn(es, r, True), elems)
+        elems = jax.lax.fori_loop(
+            rf2, rf2 + R_P, lambda r, es: round_fn(es, r, False), elems
+        )
+        elems = jax.lax.fori_loop(
+            rf2 + R_P, R_T, lambda r, es: round_fn(es, r, True), elems
+        )
+        out_ref[...] = jnp.concatenate(list(elems), axis=0)
+
+    return kernel, consts
+
+
+@functools.cache
+def _build_rns_permute(plan: rns.RNSPlan, config, block_b: int, interpret: bool):
+    t = config.t
+    kernel, consts = _make_kernel(plan, config)
+
+    # pack the column constants into one (13, 2K, 1) array; base-1-only
+    # vectors sit in rows :K with zero padding
+    def pad2k(a):
+        out = np.zeros((2 * K, 1), dtype=np.float32)
+        out[: a.shape[0]] = a
+        return out
+
+    vec_np = np.stack(
+        [
+            consts["inv_all"],
+            consts["m_all"],
+            pad2k(consts["inv1"]),
+            pad2k(consts["m1"]),
+            pad2k(consts["inv2"]),
+            pad2k(consts["m2"]),
+            pad2k(consts["c_sigma"]),
+            pad2k(consts["p2"]),
+            pad2k(consts["c2"]),
+            pad2k(consts["negM1"]),
+            pad2k(consts["negM2"]),
+            pad2k(consts["k12_1"]),
+            pad2k(consts["k12_2"]),
+        ]
+    )
+
+    @jax.jit
+    def run(state):  # (B, t, 2K) f32 residues
+        B = state.shape[0]
+        pad = (-B) % block_b
+        if pad:
+            state = jnp.concatenate(
+                [state, jnp.zeros((pad, t, 2 * K), jnp.float32)], axis=0
+            )
+        Bp = B + pad
+        st = state.reshape(Bp, t * 2 * K).T
+
+        def full_spec(arr):
+            return pl.BlockSpec(
+                arr.shape, lambda i: (0,) * arr.ndim, memory_space=pltpu.VMEM
+            )
+
+        out = pl.pallas_call(
+            kernel,
+            grid=(Bp // block_b,),
+            in_specs=[
+                full_spec(consts["ark0"]),
+                full_spec(consts["arkf"]),
+                full_spec(consts["mds"]),
+                full_spec(consts["ext1_w"]),
+                full_spec(consts["ext2_w"]),
+                full_spec(vec_np),
+                pl.BlockSpec(
+                    (t * 2 * K, block_b), lambda i: (0, i), memory_space=pltpu.VMEM
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (t * 2 * K, block_b), lambda i: (0, i), memory_space=pltpu.VMEM
+            ),
+            out_shape=jax.ShapeDtypeStruct((t * 2 * K, Bp), jnp.float32),
+            interpret=interpret,
+        )(
+            jnp.asarray(consts["ark0"]),
+            jnp.asarray(consts["arkf"]),
+            jnp.asarray(consts["mds"]),
+            jnp.asarray(consts["ext1_w"], dtype=jnp.bfloat16),
+            jnp.asarray(consts["ext2_w"], dtype=jnp.bfloat16),
+            jnp.asarray(vec_np),
+            st,
+        )
+        return out.T.reshape(Bp, t, 2 * K)[:B]
+
+    return run
+
+
+def permute_rns(plan, config, state, block_b: int = DEFAULT_BLOCK, interpret: bool = False):
+    """Poseidon permutation on RNS-resident state (B, t, 2K) float32."""
+    return _build_rns_permute(plan, config, block_b, interpret)(state)

@@ -64,7 +64,7 @@ def _digits(v: np.ndarray, ndig: int) -> list[np.ndarray]:
     return out
 
 
-@dataclass(frozen=True)
+@dataclass(frozen=True, eq=False)  # identity hash: fields are numpy arrays
 class RNSPlan:
     """All constants for RNS-Montgomery mul over a prime p.  Arrays are
     numpy; the Pallas kernel loads them as (rows, 1) f32 / bf16 operands."""
@@ -249,18 +249,25 @@ def _ext(plan: RNSPlan, s, W, negM, inv_out, m_out, delta):
     return v
 
 
+def mont_reduce_np(plan: RNSPlan, w):
+    """Montgomery-reduce a residue pair (w1, w2 tau^2-twisted) representing
+    an integer W < p*M1: returns residues of W*M1^{-1} mod p (value < 3p)."""
+    w1, w2 = w
+    s1 = red(F(w1) * plan.c_sigma, plan.inv_m1, F(plan.m1))
+    qh = _ext(plan, s1, plan.ext1_w, plan.negM1, plan.inv_m2, F(plan.m2), DELTA1)
+    t0 = red(F(F(w2) + qh * plan.p2), plan.inv_m2, F(plan.m2))
+    omega = red(t0 * plan.c2, plan.inv_m2, F(plan.m2))
+    r1 = _ext(plan, omega, plan.ext2_w, plan.negM2, plan.inv_m1, F(plan.m1), DELTA2)
+    return r1, omega
+
+
 def mont_mul_np(plan: RNSPlan, a, b):
     """(a1, a2twisted) x (b1, b2twisted) -> result pair; value < 4p."""
     a1, a2 = a
     b1, b2 = b
     w1 = red(F(a1) * F(b1), plan.inv_m1, F(plan.m1))
     w2 = red(F(a2) * F(b2), plan.inv_m2, F(plan.m2))
-    s1 = red(w1 * plan.c_sigma, plan.inv_m1, F(plan.m1))
-    qh = _ext(plan, s1, plan.ext1_w, plan.negM1, plan.inv_m2, F(plan.m2), DELTA1)
-    t0 = red(F(w2 + qh * plan.p2), plan.inv_m2, F(plan.m2))
-    omega = red(t0 * plan.c2, plan.inv_m2, F(plan.m2))
-    r1 = _ext(plan, omega, plan.ext2_w, plan.negM2, plan.inv_m1, F(plan.m1), DELTA2)
-    return r1, omega
+    return mont_reduce_np(plan, (w1, w2))
 
 
 def add_np(plan: RNSPlan, a, b):

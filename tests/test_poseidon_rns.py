@@ -1,0 +1,113 @@
+"""RNS-Montgomery Poseidon path (v5): plan arithmetic, numpy-f32 kernel
+emulation, and the Pallas kernel in interpreter mode, all vs the host
+oracle / integer arithmetic.  Semantics mirror the reference permutation
+(crypto-primitives/src/sponge/poseidon/mod.rs:98-121)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from crypto_primitives_tpu.models.sponge import (
+    PoseidonSponge,
+    get_default_poseidon_parameters,
+)
+from crypto_primitives_tpu.ops import rns
+from crypto_primitives_tpu.ops.fields_known import BLS12_381_FR as FR
+from crypto_primitives_tpu.ops.poseidon_rns_pallas import permute_rns
+
+P = FR.p
+
+
+@pytest.fixture(scope="module")
+def plan():
+    return rns.build_plan(P)
+
+
+
+def to_mont_rns(plan, xs):
+    """ints -> Montgomery form -> RNS residue pair."""
+    M1 = plan.M1
+    arr = np.asarray([[x * M1 % P for x in row] for row in xs], dtype=object)
+    return rns.to_rns(plan, arr)
+
+
+def from_mont_rns(plan, r1):
+    M1 = plan.M1
+    vals = rns.from_rns(plan, np.asarray(r1))
+    inv = pow(M1, -1, P)
+    return np.vectorize(lambda v: int(v) * inv % P, otypes=[object])(vals)
+
+
+def test_mont_mul_random(plan, rng):
+    for _ in range(50):
+        x, y = rng.randrange(4 * P), rng.randrange(4 * P)
+        a = rns.to_rns(plan, x)
+        b = rns.to_rns(plan, y)
+        r1, om = rns.mont_mul_np(plan, a, b)
+        got = int(rns.from_rns(plan, r1)) % P
+        want = x * y * pow(plan.M1, -1, P) % P
+        assert got == want
+        # closure bound for chaining
+        assert int(rns.from_rns(plan, r1)) < 4 * P
+        # twisted base-2 consistency
+        full = int(rns.from_rns(plan, r1))
+        for j in range(rns.K):
+            mj = int(plan.m2[j])
+            assert int(om[..., j]) % mj == full * int(plan.tau[j]) % mj
+
+
+def test_mont_mul_edge_values(plan):
+    edge = [0, 1, P - 1, P, 2 * P, 4 * P - 1, plan.M1 % P]
+    for x in edge:
+        for y in edge:
+            a, b = rns.to_rns(plan, x), rns.to_rns(plan, y)
+            r1, _ = rns.mont_mul_np(plan, a, b)
+            got = int(rns.from_rns(plan, r1)) % P
+            assert got == x * y * pow(plan.M1, -1, P) % P
+
+
+def test_chained_x17(plan, rng):
+    """x^17 via square-and-multiply chains outputs back into inputs —
+    exercises the lazy-bound fixpoint over many dependent muls."""
+    for _ in range(5):
+        x = rng.randrange(P)
+        a = rns.to_rns(plan, x * plan.M1 % P)
+        acc = a
+        for _ in range(4):
+            acc = rns.mont_mul_np(plan, acc, acc)
+        acc = rns.mont_mul_np(plan, acc, a)
+        got = int(from_mont_rns(plan, acc[0]))
+        assert got == pow(x, 17, P)
+
+
+@pytest.mark.parametrize("rate", [2, 3])
+def test_rns_kernel_interpret_matches_oracle(plan, rng, rate):
+    cfg = get_default_poseidon_parameters(FR, rate, False)
+    B = 3
+    states = [[rng.randrange(P) for _ in range(cfg.t)] for _ in range(B)]
+    r1, r2 = to_mont_rns(plan, states)
+    dev = jnp.asarray(
+        np.concatenate([r1, r2], axis=-1), dtype=jnp.float32
+    )  # (B, t, 2K)
+    out = np.asarray(permute_rns(plan, cfg, dev, block_b=128, interpret=True))
+    got = from_mont_rns(plan, out[..., : rns.K])
+    for i in range(B):
+        oracle = PoseidonSponge(cfg)
+        oracle.state = list(states[i])
+        oracle.permute()
+        assert [int(v) for v in got[i]] == oracle.state
+
+
+def test_rns_kernel_padding(plan, rng):
+    cfg = get_default_poseidon_parameters(FR, 2, False)
+    states = [[rng.randrange(P) for _ in range(cfg.t)] for _ in range(3)]
+    r1, r2 = to_mont_rns(plan, states)
+    dev = jnp.asarray(np.concatenate([r1, r2], axis=-1), dtype=jnp.float32)
+    out = np.asarray(permute_rns(plan, cfg, dev, block_b=128, interpret=True))
+    assert out.shape == (3, cfg.t, 2 * rns.K)
+    got = from_mont_rns(plan, out[..., : rns.K])
+    oracle = PoseidonSponge(cfg)
+    oracle.state = list(states[2])
+    oracle.permute()
+    assert [int(v) for v in got[2]] == oracle.state
