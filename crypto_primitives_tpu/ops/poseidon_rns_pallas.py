@@ -62,31 +62,38 @@ def _plan_consts(plan: rns.RNSPlan, config):
         ext1_w=plan.ext1_w,  # (3K+3, 2K)
         ext2_w=plan.ext2_w,
     )
-    # MDS as plain residues, stacked over both bases: (t, t, 2K, 1)
-    def rns_rows(v: int, twisted: bool = True) -> np.ndarray:
+    def rns_rows(v: int) -> np.ndarray:
+        """Both-base residue rows: B1 plain, B2 tau-twisted."""
         r1 = [v % int(m) for m in plan.m1]
-        r2 = [
-            (v * (int(tw) if twisted else 1)) % int(m)
-            for m, tw in zip(plan.m2, plan.tau)
-        ]
+        r2 = [(v * int(tw)) % int(m) for m, tw in zip(plan.m2, plan.tau)]
         return np.asarray(r1 + r2, dtype=np.float32)
 
-    # MDS in Montgomery form, B2 twisted: products against state residues
-    # carry tau^2, matching mont_reduce's expectation (like a*b products)
+    # MDS in Montgomery form.  B1 rows additionally carry the sigma twist:
+    # products mds*state then accumulate w1*sigma directly, so mont_reduce
+    # skips its s1 const-mul (s1_ready).  B2 rows tau-twisted as usual
+    # (products carry tau^2, matching mont_reduce's expectation).
     mds = np.zeros((t, t, 2 * K, 1), dtype=np.float32)
     for i in range(t):
         for j in range(t):
-            mds[i, j, :, 0] = rns_rows(int(config.mds[i][j]) * plan.M1 % p)
+            v = int(config.mds[i][j]) * plan.M1 % p
+            r1 = [
+                (v * int(sg)) % int(m)
+                for m, sg in zip(plan.m1, plan.c_sigma.astype(np.int64))
+            ]
+            r2 = [(v * int(tw)) % int(m) for m, tw in zip(plan.m2, plan.tau)]
+            mds[i, j, :, 0] = np.asarray(r1 + r2, dtype=np.float32)
     consts["mds"] = mds
-    # ark in Montgomery form (ark * M1 mod p), rounds 1.. folded after MDS;
-    # row r holds ark[r+1]; last row zero.  ark0 applied at entry.
+    # ark rounds 1.. fold into the omega reduction of the MDS mont_reduce:
+    # only tau-twisted B2 residues are needed (ext2 re-extends to B1).
+    # Row r holds ark[r+1]; last row zero.  ark0 applied at entry (2K rows).
     R_T = config.full_rounds + config.partial_rounds
-    arkf = np.zeros((R_T, t * 2 * K, 1), dtype=np.float32)
+    arkf = np.zeros((R_T, t * K, 1), dtype=np.float32)
     for r in range(R_T - 1):
         for i in range(t):
-            arkf[r, i * 2 * K : (i + 1) * 2 * K, 0] = rns_rows(
-                int(config.ark[r + 1][i]) * plan.M1 % p
-            )
+            a = int(config.ark[r + 1][i]) * plan.M1 % p
+            arkf[r, i * K : (i + 1) * K, 0] = [
+                (a * int(tw)) % int(m) for m, tw in zip(plan.m2, plan.tau)
+            ]
     ark0 = np.zeros((t * 2 * K, 1), dtype=np.float32)
     for i in range(t):
         ark0[i * 2 * K : (i + 1) * 2 * K, 0] = rns_rows(
@@ -97,7 +104,10 @@ def _plan_consts(plan: rns.RNSPlan, config):
     return consts
 
 
-def _make_kernel(plan: rns.RNSPlan, config):
+def _make_kernel(plan: rns.RNSPlan, config, ablate: str = ""):
+    # ablate: dev-only timing knob (tools/ablate_rns.py) — "nomxu" stubs the
+    # extension matmuls, "nored" the recombine reductions, "nosbox"/"nomds"
+    # whole stages.  Produces WRONG results; never set in production paths.
     t = config.t
     alpha = config.alpha
     rf2 = config.full_rounds // 2
@@ -125,26 +135,43 @@ def _make_kernel(plan: rns.RNSPlan, config):
             return w - q * m
 
         def ext(s, W, negM, inv, m, k12, delta):
+            """Single-red recombine: X = S0 + 64*S1 + red(S2)*k12 + lam*negM
+            stays < 2^24 (k12 = 4096-2m < 710 for all bases; bound asserted
+            in rns.build_plan)."""
             d1 = jnp.floor(s * f32(2.0**-DIGIT))
             d0 = s - d1 * f32(1 << DIGIT)
-            x = jnp.concatenate([d0, d1], axis=0).astype(jnp.bfloat16)
-            out = jax.lax.dot(W, x, preferred_element_type=f32)
+            if "nomxu" in ablate:
+                out = jnp.concatenate([d0, d1, d0, d0[:3]], axis=0)
+            else:
+                x = jnp.concatenate([d0, d1], axis=0).astype(jnp.bfloat16)
+                out = jax.lax.dot(W, x, preferred_element_type=f32)
             S0, S1, S2 = out[:K], out[K : 2 * K], out[2 * K : 3 * K]
             L0, L1, L2 = out[3 * K : 3 * K + 1], out[3 * K + 1 : 3 * K + 2], out[3 * K + 2 :]
             lam_v = (L0 + f32(64.0) * L1) + f32(4096.0) * L2
             lam = jnp.floor(lam_v * f32(2.0**-LAM_SHIFT) + f32(delta))
-            v1 = red(S0 + f32(64.0) * S1, inv, m)
+            if "nored" in ablate:
+                return red(S0 + lam * negM, inv, m)
             s2r = red(S2, inv, m)
-            u = red(v1 + s2r * k12, inv, m)
-            return red(u + lam * negM, inv, m)
+            X = ((S0 + f32(64.0) * S1) + s2r * k12) + lam * negM
+            return red(X, inv, m)
 
-        def mont_reduce(w):
+        def mont_reduce(w, ark2=None, s1_ready=False):
             """w: (2K, B) lazy residues of an integer < p*M1 (B2 rows
-            tau^2-twisted) -> residues of W*M1^{-1} mod p, value < 3p."""
-            s1 = red(w[:K] * c_sigma, inv1, m1)
+            tau^2-twisted) -> residues of W*M1^{-1} mod p, value < 3p.
+            ark2 (tau-twisted B2 rows of a constant a < p) folds into the
+            omega red; the result then represents W*M1^{-1} + a < 4p.
+            s1_ready: w[:K] already carries the sigma twist (pre-twisted
+            constants), skipping the s1 const-mul."""
+            if s1_ready or "nosig" in ablate:
+                s1 = w[:K]
+            else:
+                s1 = red(w[:K] * c_sigma, inv1, m1)
             qh = ext(s1, e1w, negM1, inv2, m2, k12_2, DELTA1)
             t0 = red(w[K:] + qh * p2, inv2, m2)
-            om = red(t0 * c2, inv2, m2)
+            om_pre = t0 * c2 if "nosig" not in ablate else t0
+            if ark2 is not None:
+                om_pre = om_pre + ark2
+            om = red(om_pre, inv2, m2)
             r1 = ext(om, e2w, negM2, inv1, m1, k12_1, DELTA2)
             return jnp.concatenate([r1, om], axis=0)
 
@@ -161,31 +188,33 @@ def _make_kernel(plan: rns.RNSPlan, config):
             return acc
 
         def mds_ark(elems, r):
-            """MDS row dot (lazy residue accumulation, Barrett between
-            terms) -> full Montgomery reduction (integer bound < 12p^2 <
-            p*M1) -> fold in ark[r+1].  Residues stay < 2m throughout."""
-            ark_next = arkf_ref[r]  # (t*2K, 1)
+            """MDS row dot (lazy residue accumulation: pairs of products
+            sum exactly under 2^24 before one Barrett) -> full Montgomery
+            reduction (integer bound < 12p^2 < p*M1) with ark[r+1] folded
+            into its omega red.  MDS constants are sigma-pre-twisted in B1
+            (s1_ready) and tau-twisted in B2."""
+            ark_next = arkf_ref[r]  # (t*K, 1) tau-twisted B2 rows
             new = []
             for i in range(t):
-                acc = None
-                for j in range(t):
-                    term = elems[j] * mdsc[i, j]
-                    if acc is None:
-                        acc = term
-                    else:
-                        acc = red(acc + term, inv_all, m_all)
-                acc = mont_reduce(red(acc, inv_all, m_all))
+                # acc after the first red is < 2m < 2^12, so every later
+                # (acc + product) sum stays < 2^23 + 2^12: exact in f32
+                acc = elems[0] * mdsc[i, 0]
+                for j in range(1, t):
+                    acc = red(acc + elems[j] * mdsc[i, j], inv_all, m_all)
                 arow = jnp.broadcast_to(
-                    ark_next[i * 2 * K : (i + 1) * 2 * K], acc.shape
+                    ark_next[i * K : (i + 1) * K], (K, acc.shape[1])
                 )
-                new.append(red(acc + arow, inv_all, m_all))
+                new.append(mont_reduce(acc, ark2=arow, s1_ready=True))
             return tuple(new)
 
         def round_fn(elems, r, full):
-            if full:
-                elems = tuple(sbox(e) for e in elems)
-            else:
-                elems = (sbox(elems[0]),) + elems[1:]
+            if "nosbox" not in ablate:
+                if full:
+                    elems = tuple(sbox(e) for e in elems)
+                else:
+                    elems = (sbox(elems[0]),) + elems[1:]
+            if "nomds" in ablate:
+                return tuple(red(e + f32(1.0), inv_all, m_all) for e in elems)
             return mds_ark(elems, r)
 
         st = state_ref[...]
@@ -212,9 +241,11 @@ def _make_kernel(plan: rns.RNSPlan, config):
 
 
 @functools.cache
-def _build_rns_permute(plan: rns.RNSPlan, config, block_b: int, interpret: bool):
+def _build_rns_permute(
+    plan: rns.RNSPlan, config, block_b: int, interpret: bool, ablate: str = ""
+):
     t = config.t
-    kernel, consts = _make_kernel(plan, config)
+    kernel, consts = _make_kernel(plan, config, ablate)
 
     # pack the column constants into one (13, 2K, 1) array; base-1-only
     # vectors sit in rows :K with zero padding

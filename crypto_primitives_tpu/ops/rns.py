@@ -139,6 +139,19 @@ def build_plan(p: int) -> RNSPlan:
     for m in b2:
         M2 *= m
     assert M1 > 16 * p and M2 > 16 * p, "bases too small for beta=4 fixpoint"
+    # single-red recombine exactness (see _ext): X = S0 + 64*S1 + s2r*k12
+    # + lam*negM + ark must stay < 2^24 for all bases
+    mmax = max(primes)
+    k12max = max(4096 - 2 * m for m in primes)
+    assert all(1 <= 4096 // m <= 2 for m in primes)
+    xmax = (
+        K * 63 * 63  # S0
+        + 64 * K * (63 * 31 + 63 * 63)  # 64*S1
+        + 2 * mmax * k12max  # s2r*k12
+        + (2 * K + 1) * mmax  # lam*negM
+        + 2 * mmax  # folded ark
+    )
+    assert xmax < 1 << 24, f"recombine overflow: {xmax}"
     inv_m1 = np.nextafter((1.0 / m1).astype(np.float32), np.float32(0))
     inv_m2 = np.nextafter((1.0 / m2).astype(np.float32), np.float32(0))
     c_sigma = np.array(
@@ -229,9 +242,14 @@ def red(w, inv_m, m):
     return F(F(w) - F(q) * F(m))
 
 
-def _ext(plan: RNSPlan, s, W, negM, inv_out, m_out, delta):
+def _ext(plan: RNSPlan, s, W, negM, inv_out, m_out, delta, extra=None):
     """Base extension: s (..., K) lazy residues -> (..., K) residues of the
-    represented integer (+ {0,1} * M_src for ext1's one-sided delta)."""
+    represented integer (+ {0,1} * M_src for ext1's one-sided delta).
+
+    Single-red recombine: all 48 primes are >= 2^12/2.42, so
+    k12 = 2^12 mod m = 4096 - 2m < 710 and the full combination
+    X = S0 + 64*S1 + red(S2)*k12 + lam*negM (+ extra) is < ~12.6M < 2^24,
+    f32-exact.  `extra` rides the same red (ark folding)."""
     s = F(s)
     s0 = F(np.floor(s * F(2.0**-DIGIT)))
     d0 = F(s - s0 * F(2.0**DIGIT))  # low digit
@@ -241,22 +259,34 @@ def _ext(plan: RNSPlan, s, W, negM, inv_out, m_out, delta):
     L0, L1, L2 = out[..., 3 * K], out[..., 3 * K + 1], out[..., 3 * K + 2]
     lam_v = F(F(L0 + F(64.0) * L1) + F(4096.0) * L2)
     lam = np.floor(lam_v * F(2.0**-LAM_SHIFT) + F(delta))[..., None]
-    v1 = red(F(S0 + F(64.0) * S1), inv_out, m_out)
     s2r = red(S2, inv_out, m_out)
     k12 = F(np.asarray([(1 << 12) % int(m) for m in m_out], dtype=np.float32))
-    v = red(F(v1 + s2r * k12), inv_out, m_out)
-    v = red(F(v + F(lam) * F(negM)), inv_out, m_out)
-    return v
+    X = F(F(F(S0 + F(64.0) * S1) + s2r * k12) + F(lam) * F(negM))
+    if extra is not None:
+        X = F(X + F(extra))
+    return red(X, inv_out, m_out)
 
 
-def mont_reduce_np(plan: RNSPlan, w):
+def mont_reduce_np(plan: RNSPlan, w, ark2=None, s1_ready=False):
     """Montgomery-reduce a residue pair (w1, w2 tau^2-twisted) representing
-    an integer W < p*M1: returns residues of W*M1^{-1} mod p (value < 3p)."""
+    an integer W < p*M1: returns residues of W*M1^{-1} mod p (value < 3p).
+
+    ark2: optional tau-twisted B2 residues of a constant a < p, folded into
+    the omega reduction — the result then represents W*M1^{-1} + a (< 4p)
+    in BOTH bases (ext2 re-extends the ark-included omega).
+    s1_ready: w1 already carries the sigma twist (MDS constants are stored
+    pre-multiplied by sigma in base 1), skipping the s1 const-mul."""
     w1, w2 = w
-    s1 = red(F(w1) * plan.c_sigma, plan.inv_m1, F(plan.m1))
+    if s1_ready:
+        s1 = F(w1)
+    else:
+        s1 = red(F(w1) * plan.c_sigma, plan.inv_m1, F(plan.m1))
     qh = _ext(plan, s1, plan.ext1_w, plan.negM1, plan.inv_m2, F(plan.m2), DELTA1)
     t0 = red(F(F(w2) + qh * plan.p2), plan.inv_m2, F(plan.m2))
-    omega = red(t0 * plan.c2, plan.inv_m2, F(plan.m2))
+    om_pre = F(t0 * plan.c2)
+    if ark2 is not None:
+        om_pre = F(om_pre + F(ark2))
+    omega = red(om_pre, plan.inv_m2, F(plan.m2))
     r1 = _ext(plan, omega, plan.ext2_w, plan.negM2, plan.inv_m1, F(plan.m1), DELTA2)
     return r1, omega
 

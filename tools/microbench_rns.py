@@ -53,7 +53,7 @@ def _wrap(kernel_body, shapes_u32, W):
                 return kernel_body(i, x)
 
             x = jax.lax.fori_loop(0, iters, body, x_ref[...])
-            o_ref[...] = jnp.sum(x.astype(jnp.float32), axis=0, keepdims=True)
+            o_ref[...] = jnp.sum(x.astype(jnp.int32).astype(jnp.float32), axis=0, keepdims=True)
 
         rows = shapes_u32
         x0 = jnp.ones((rows, W), jnp.uint32)
