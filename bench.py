@@ -31,12 +31,19 @@ def main():
     packed = cfg.packed()
     on_tpu = jax.default_backend() == "tpu"
     if on_tpu:
-        from crypto_primitives_tpu.ops.poseidon_pallas import _build_pallas_permute
+        # v5 RNS-Montgomery kernel (ops/poseidon_rns_pallas.py); parity vs
+        # the host oracle is pinned in tests/test_poseidon_rns.py and
+        # .drive_rns.py on real hardware
+        from crypto_primitives_tpu.ops import rns
+        from crypto_primitives_tpu.ops.poseidon_rns_pallas import (
+            _build_rns_permute,
+        )
 
-        perm = _build_pallas_permute(FR, cfg, 1024, False)
+        plan = rns.build_plan(FR.p)
+        perm = _build_rns_permute(plan, cfg, 2048, False)
     else:
         perm = lambda s: permute_xla(FR, packed, s)
-    B = 32768 if on_tpu else 2048  # independent sponge states
+    B = 65536 if on_tpu else 2048  # independent sponge states
     K = 8  # chained permutations per timed call
 
     # NOTE: timing is differential (K0 vs K1 chained permutations inside one
@@ -53,7 +60,10 @@ def main():
             return jnp.sum(s.astype(jnp.float32))
         return jax.jit(fn)
 
-    state = ff.zeros(FR, (B, cfg.t))
+    if on_tpu:
+        state = jnp.zeros((B, cfg.t, 2 * rns.K), jnp.float32)
+    else:
+        state = ff.zeros(FR, (B, cfg.t))
 
     def timed(f):
         r = f(state)

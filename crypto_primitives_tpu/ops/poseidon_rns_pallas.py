@@ -55,6 +55,7 @@ def _plan_consts(plan: rns.RNSPlan, config):
         c_sigma=col(plan.c_sigma),
         p2=col(plan.p2),
         c2=col(plan.c2),
+        p2c2=col(plan.p2c2),
         negM1=col(plan.negM1),
         negM2=col(plan.negM2),
         k12_1=k12(plan.m1),
@@ -126,6 +127,7 @@ def _make_kernel(plan: rns.RNSPlan, config, ablate: str = ""):
         p2, c2 = v[7, :K], v[8, :K]
         negM1, negM2 = v[9, :K], v[10, :K]
         k12_1, k12_2 = v[11, :K], v[12, :K]
+        p2c2 = v[13, :K]
         e1w = e1w_ref[...]
         e2w = e2w_ref[...]
         mdsc = mds_ref[...]
@@ -167,8 +169,12 @@ def _make_kernel(plan: rns.RNSPlan, config, ablate: str = ""):
             else:
                 s1 = red(w[:K] * c_sigma, inv1, m1)
             qh = ext(s1, e1w, negM1, inv2, m2, k12_2, DELTA1)
-            t0 = red(w[K:] + qh * p2, inv2, m2)
-            om_pre = t0 * c2 if "nosig" not in ablate else t0
+            # merged t0/omega: (w2 + qh*p2)*c2 = w2*c2 + qh*(p2*c2 mod m);
+            # bound 2*(2m-1)*(m-1) + ark < 2^24, exact (see rns.mont_reduce_np)
+            if "nosig" in ablate:
+                om_pre = w[K:] + qh * p2
+            else:
+                om_pre = w[K:] * c2 + qh * p2c2
             if ark2 is not None:
                 om_pre = om_pre + ark2
             om = red(om_pre, inv2, m2)
@@ -269,6 +275,7 @@ def _build_rns_permute(
             pad2k(consts["negM2"]),
             pad2k(consts["k12_1"]),
             pad2k(consts["k12_2"]),
+            pad2k(consts["p2c2"]),
         ]
     )
 

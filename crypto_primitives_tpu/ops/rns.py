@@ -79,6 +79,7 @@ class RNSPlan:
     c_sigma: np.ndarray  # (K,) f32: (-p^-1 * (M1/m_i)^-1) mod m_i
     p2: np.ndarray  # (K,) f32: p mod m2_j
     c2: np.ndarray  # (K,) f32: M1^-1 * tau^-1 mod m2_j
+    p2c2: np.ndarray  # (K,) f32: (p * c2) mod m2_j (merged t0/omega stage)
     tau: np.ndarray  # (K,) int64: (M2/m_j)^-1 mod m2_j
     negM1: np.ndarray  # (K,) f32: (-M1 * tau^2) mod m2_j
     negM2: np.ndarray  # (K,) f32: -M2 mod m1_i
@@ -169,6 +170,7 @@ def build_plan(p: int) -> RNSPlan:
         [(_inv(M1, m) * _inv(int(t), m)) % m for m, t in zip(b2, tau)],
         dtype=np.int64,
     )
+    p2c2 = (p2 * c2) % m2
     C2 = np.array([[(M2 // mj) % mi for mj in b2] for mi in b1], dtype=np.int64)
     negM2 = np.array([(-M2) % m for m in b1], dtype=np.int64)
     lam_w1 = np.array([round(2**LAM_SHIFT / m) for m in b1], dtype=np.int64)
@@ -187,6 +189,7 @@ def build_plan(p: int) -> RNSPlan:
         c_sigma=c_sigma.astype(np.float32),
         p2=p2.astype(np.float32),
         c2=c2.astype(np.float32),
+        p2c2=p2c2.astype(np.float32),
         tau=tau,
         negM1=negM1.astype(np.float32),
         negM2=negM2.astype(np.float32),
@@ -282,8 +285,9 @@ def mont_reduce_np(plan: RNSPlan, w, ark2=None, s1_ready=False):
     else:
         s1 = red(F(w1) * plan.c_sigma, plan.inv_m1, F(plan.m1))
     qh = _ext(plan, s1, plan.ext1_w, plan.negM1, plan.inv_m2, F(plan.m2), DELTA1)
-    t0 = red(F(F(w2) + qh * plan.p2), plan.inv_m2, F(plan.m2))
-    om_pre = F(t0 * plan.c2)
+    # merged t0/omega: omega = (w2 + qh*p2)*c2 = w2*c2 + qh*(p2*c2 mod m);
+    # bound 2*(2m-1)*(m-1) + (2m-1) = 16.62M < 2^24, exact
+    om_pre = F(F(F(w2) * plan.c2) + qh * plan.p2c2)
     if ark2 is not None:
         om_pre = F(om_pre + F(ark2))
     omega = red(om_pre, plan.inv_m2, F(plan.m2))
