@@ -1,0 +1,128 @@
+"""Flagship Merkle bench at the reference's full scale: 2^20 leaves
+(/root/reference/crypto-primitives/benches/merkle_tree.rs:4,36-209).
+
+Workloads (device-resident trees, models/merkle_tree/device.py):
+  * create      — SHA-256 byte tree over 2^20 x 32-byte leaves
+  * prove_all   — auth-path gather for ALL 2^20 leaves (device arrays)
+  * verify_all  — batched verification of all 2^20 proofs
+  * create_poseidon — 2^20-leaf BLS12-381 Poseidon tree on the RNS kernel
+
+Timing: whole-operation wall time with a tiny host fetch to synchronize
+(block_until_ready is a no-op under the axon tunnel); best of reps after a
+warm-up run.  Leaves are generated on device outside the timed region,
+mirroring the reference's pre-generated `Vec<leaves>`.
+"""
+
+import sys
+import time
+
+import jax
+
+try:
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache_tpu")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
+
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, "/root/repo/benches")
+from _util import emit  # noqa: E402
+
+from crypto_primitives_tpu.models.merkle_tree.device import (  # noqa: E402
+    poseidon_rns_device_tree,
+    sha256_device_tree,
+)
+from crypto_primitives_tpu.ops.sha256 import sha256  # noqa: E402
+
+
+def timed(fn, reps=3):
+    fn()  # warm (compile)
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fn()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def main(num_leaves: int):
+    n = num_leaves
+    key = jax.random.PRNGKey(0)
+    leaves = jax.random.randint(key, (n, 32), 0, 256, dtype=jnp.int32).astype(
+        jnp.uint8
+    )
+    np.asarray(leaves[0])  # materialize outside timed region
+
+    # ---- create ----
+    def create():
+        t = sha256_device_tree(leaves)
+        np.asarray(t.root_row())  # sync
+        return t
+
+    t_create = timed(create)
+    emit("merkle_sha256_create_2e20", n / t_create, "leaves/s")
+
+    tree = create()
+
+    # ---- prove all ----
+    idx_all = jnp.arange(n, dtype=jnp.int32)
+
+    @jax.jit
+    def prove_all():
+        sib, auth = tree.proof_rows(idx_all)
+        return jnp.sum(sib.astype(jnp.uint32)) + jnp.sum(auth.astype(jnp.uint32))
+
+    t_prove = timed(lambda: np.asarray(prove_all()))
+    emit("merkle_sha256_prove_all_2e20", n / t_prove, "proofs/s")
+
+    # ---- verify all ----
+    leaf_sib, auth = tree.proof_rows(idx_all)
+    leaf_dig = tree.leaf_digests
+    root_row = tree.root_row()
+
+    @jax.jit
+    def verify_all(root_row, leaf_dig, leaf_sib, auth):
+        ok = tree.verify_rows_batch(root_row, leaf_dig, idx_all, leaf_sib, auth)
+        return jnp.all(ok), jnp.sum(ok)
+
+    allok, cnt = verify_all(root_row, leaf_dig, leaf_sib, auth)
+    assert bool(np.asarray(allok)), "verification failed!"
+    t_verify = timed(
+        lambda: np.asarray(verify_all(root_row, leaf_dig, leaf_sib, auth)[1])
+    )
+    emit("merkle_sha256_verify_all_2e20", n / t_verify, "verifies/s")
+
+    # ---- Poseidon RNS tree create ----
+    from crypto_primitives_tpu.models.sponge import get_default_poseidon_parameters
+    from crypto_primitives_tpu.ops import rns
+    from crypto_primitives_tpu.ops.fields_known import BLS12_381_FR as FR
+
+    pcfg = get_default_poseidon_parameters(FR, 2, False)
+    # random residue rows are NOT valid field encodings; use small ints
+    # broadcast through to_rns instead (valid Montgomery-form values)
+    plan = rns.build_plan(FR.p)
+    base = jax.random.randint(key, (n,), 0, 1 << 30, dtype=jnp.int32)
+    r1 = jnp.asarray(plan.m1, jnp.int32)
+    r2m = jnp.asarray(plan.m2, jnp.int32)
+    tw = jnp.asarray(plan.tau, jnp.int32)
+    lr1 = (base[:, None] % r1[None, :]).astype(jnp.float32)
+    lr2 = ((base[:, None] % r2m[None, :]) * tw[None, :] % r2m[None, :]).astype(
+        jnp.float32
+    )
+    leaf_rns = jnp.concatenate([lr1, lr2], axis=-1)
+    np.asarray(leaf_rns[0])
+
+    def create_pos():
+        t = poseidon_rns_device_tree(FR, pcfg, leaf_rns)
+        np.asarray(t.root_row())
+        return t
+
+    t_pos = timed(create_pos)
+    emit("merkle_poseidon_rns_create_2e20", n / t_pos, "leaves/s")
+
+
+if __name__ == "__main__":
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 1 << 20)

@@ -1,0 +1,304 @@
+"""Device-resident Merkle trees: every node level lives in HBM.
+
+This is the TPU re-design of the reference's rayon-parallel tree
+(/root/reference/crypto-primitives/src/merkle_tree/mod.rs:417-515) for the
+flagship 2^20-leaf benchmark (benches/merkle_tree.rs:4,36-209): build,
+proof extraction, verification, and updates are all batched device
+programs; the host sees digests only at explicit conversion points
+(root(), generate_proof()).
+
+Two concrete instantiations:
+  * sha256_device_tree — byte digests (n, 32) uint8, SHA-256 compress
+    (ops/sha256.py scan kernel);
+  * poseidon_rns_device_tree — digests as RNS-Montgomery residue rows
+    (n, 2K) float32, compressed by ONE fused Pallas permutation per node
+    (ops/poseidon_rns_pallas.py): compress(l, r) = permute([0, l, r])[1],
+    the exact duplex schedule of the reference sponge CRH
+    (src/crh/poseidon/mod.rs:58-79 over src/sponge/poseidon/mod.rs:124-186).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, List, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from crypto_primitives_tpu.models.merkle_tree import Path, tree_height
+
+
+_BUILD_CACHE: dict = {}
+
+
+def _build_levels(leaf_hash_batch, compress_batch, leaf_convert):
+    """One jitted whole-tree build per (hash-fn triple); jax.jit handles
+    per-shape specialization underneath."""
+    key = (id(leaf_hash_batch), id(compress_batch), id(leaf_convert))
+    fn = _BUILD_CACHE.get(key)
+    if fn is None:
+
+        @jax.jit
+        def fn(leaves):
+            leaf_digests = leaf_hash_batch(leaves)
+            conv = leaf_convert(leaf_digests)
+            cur = compress_batch(conv[0::2], conv[1::2])
+            levels = [cur]
+            while cur.shape[0] > 1:
+                cur = compress_batch(cur[0::2], cur[1::2])
+                levels.append(cur)
+            levels.reverse()
+            return leaf_digests, tuple(levels)
+
+        # keep the hash closures alive so ids stay unique while cached
+        fn._refs = (leaf_hash_batch, compress_batch, leaf_convert)
+        _BUILD_CACHE[key] = fn
+    return fn
+
+
+class DeviceMerkleTree:
+    """levels[0] is the root level (1 row); levels[-1] is the bottom inner
+    level (n/2 rows); leaf_digests is (n, D).  All jnp arrays."""
+
+    def __init__(
+        self,
+        compress_batch: Callable,
+        leaf_digests: jnp.ndarray,
+        inner_levels: List[jnp.ndarray],
+        to_host: Callable,
+        leaf_convert: Callable = lambda x: x,
+    ):
+        self.compress_batch = compress_batch
+        self.leaf_digests = leaf_digests
+        self.inner_levels = inner_levels
+        self.to_host = to_host
+        # LeafInnerDigestConverter twin (mod.rs:60-88): applied to leaf
+        # digests before the bottom inner hash only
+        self.leaf_convert = leaf_convert
+        self.height = tree_height(int(leaf_digests.shape[0]))
+
+    # -- construction ---------------------------------------------------
+
+    @classmethod
+    def build(
+        cls,
+        leaf_hash_batch: Callable,
+        compress_batch: Callable,
+        leaves: jnp.ndarray,
+        to_host: Callable,
+        leaf_convert: Callable = lambda x: x,
+    ) -> "DeviceMerkleTree":
+        n = int(leaves.shape[0])
+        assert n > 1 and (n & (n - 1)) == 0
+        # the whole level scan compiles to ONE device program (level count
+        # is static); jit caches per (fns, shape) via _build_levels
+        leaf_digests, levels = _build_levels(
+            leaf_hash_batch, compress_batch, leaf_convert
+        )(leaves)
+        return cls(compress_batch, leaf_digests, list(levels), to_host, leaf_convert)
+
+    # -- accessors -------------------------------------------------------
+
+    def root_row(self) -> jnp.ndarray:
+        return self.inner_levels[0][0]
+
+    def root(self):
+        return self.to_host(np.asarray(self.root_row()))
+
+    # -- proofs ----------------------------------------------------------
+
+    def proof_rows(self, indexes: jnp.ndarray):
+        """Batched auth-path gather, fully on device.
+
+        indexes: (B,) int32 leaf indexes.  Returns (leaf_sibling (B, D),
+        auth (B, height-2, D) root-first) — the array twin of
+        Path.auth_path (reference mod.rs:547-569), one gather per level.
+        """
+        idx = jnp.asarray(indexes, dtype=jnp.int32)
+        leaf_sib = jnp.take(self.leaf_digests, idx ^ 1, axis=0)
+        auth = []
+        node = idx >> 1  # index at the bottom inner level
+        # bottom inner level is levels[-1]; auth path excludes the root
+        for level in self.inner_levels[:0:-1]:  # bottom ... level 1
+            auth.append(jnp.take(level, node ^ 1, axis=0))
+            node = node >> 1
+        auth.reverse()  # root-first
+        if not auth:  # 2-leaf tree: path is just the leaf sibling
+            return leaf_sib, jnp.zeros(
+                (idx.shape[0], 0) + self.leaf_digests.shape[1:],
+                self.leaf_digests.dtype,
+            )
+        return leaf_sib, jnp.stack(auth, axis=1)
+
+    def generate_proof(self, index: int) -> Path:
+        """Canonical host Path (interoperates with Path.verify and the
+        R1CS PathVar)."""
+        leaf_sib, auth = self.proof_rows(jnp.asarray([index]))
+        return Path(
+            leaf_sibling_hash=self.to_host(np.asarray(leaf_sib[0])),
+            auth_path=[self.to_host(r) for r in np.asarray(auth[0])],
+            leaf_index=index,
+        )
+
+    def verify_rows_batch(
+        self,
+        root_row: jnp.ndarray,
+        leaf_digests: jnp.ndarray,
+        indexes: jnp.ndarray,
+        leaf_sib: jnp.ndarray,
+        auth: jnp.ndarray,
+    ) -> jnp.ndarray:
+        """Batched device verification from already-hashed leaf digests;
+        returns (B,) bool (Ok(false)-style, mod.rs:252-294).
+
+        Equality is bitwise on digest rows.  SHA byte digests are canonical;
+        RNS digest rows are lazy residues and compare equal only when both
+        sides come through this pipeline (deterministic f32 ops).  For a
+        root received as a canonical field element, compare host-side via
+        to_host(root_row()) instead."""
+        idx = jnp.asarray(indexes, dtype=jnp.int32)
+
+        def pick(cond, a, b):
+            return jnp.where(cond[..., None], a, b)
+
+        is_left = (idx & 1) == 0
+        own = self.leaf_convert(leaf_digests)
+        sib = self.leaf_convert(leaf_sib)
+        curr = self.compress_batch(
+            pick(is_left, own, sib), pick(is_left, sib, own)
+        )
+        node = idx >> 1
+        n_levels = auth.shape[1]
+        for level in range(n_levels - 1, -1, -1):
+            sib = auth[:, level]
+            is_left = (node & 1) == 0
+            curr = self.compress_batch(
+                pick(is_left, curr, sib), pick(is_left, sib, curr)
+            )
+            node = node >> 1
+        return jnp.all(curr == root_row[None, :], axis=-1)
+
+    # -- updates ----------------------------------------------------------
+
+    def update_batch(self, indexes: Sequence[int], new_leaf_digests: jnp.ndarray):
+        """Scatter new leaf digests and recompute the touched ancestors,
+        level by level (duplicate parents recompute the same value, so no
+        dedup pass is needed).  Device twin of mod.rs:629-680."""
+        idx = jnp.asarray(indexes, dtype=jnp.int32)
+        self.leaf_digests = self.leaf_digests.at[idx].set(new_leaf_digests)
+        node = idx >> 1
+        for li in range(len(self.inner_levels) - 1, -1, -1):
+            child = (
+                self.leaf_convert(self.leaf_digests)
+                if li == len(self.inner_levels) - 1
+                else self.inner_levels[li + 1]
+            )
+            left = jnp.take(child, node * 2, axis=0)
+            right = jnp.take(child, node * 2 + 1, axis=0)
+            new = self.compress_batch(left, right)
+            self.inner_levels[li] = self.inner_levels[li].at[node].set(new)
+            node = node >> 1
+
+
+# --------------------------------------------------------------------------
+# SHA-256 byte tree (the reference's flagship bench configuration)
+# --------------------------------------------------------------------------
+
+
+def _sha_leaf_hash(lv):
+    from crypto_primitives_tpu.ops.sha256 import sha256
+
+    return sha256(lv)
+
+
+def _sha_compress(l, r):
+    from crypto_primitives_tpu.ops.sha256 import sha256
+
+    return sha256(jnp.concatenate([l, r], axis=-1))
+
+
+@functools.cache
+def _sha_convert():
+    from crypto_primitives_tpu.models.merkle_tree import ByteDigestConverter
+
+    return ByteDigestConverter(32).convert_batch
+
+
+def sha256_device_tree(leaves: jnp.ndarray) -> DeviceMerkleTree:
+    """leaves: (n, L) uint8.  Digests are (32,) uint8 rows; semantics match
+    the generic MerkleTree with Sha256CRH + ByteDigestConverter."""
+    return DeviceMerkleTree.build(
+        _sha_leaf_hash,
+        _sha_compress,
+        leaves,
+        to_host=lambda row: row.tobytes(),
+        leaf_convert=_sha_convert(),
+    )
+
+
+# --------------------------------------------------------------------------
+# Poseidon field tree, RNS-resident (fast path for the 1e7-perm/s kernel)
+# --------------------------------------------------------------------------
+
+
+@functools.cache
+def _rns_compress_fns(spec, config):
+    from crypto_primitives_tpu.ops import rns
+    from crypto_primitives_tpu.ops.poseidon_rns_pallas import permute_rns
+
+    plan = rns.build_plan(spec.p)
+    K = rns.K
+    t = config.t
+    assert config.rate >= 2 and config.capacity == 1
+    interp = jax.default_backend() != "tpu"  # pallas interpreter off-TPU
+
+    def blk(B):
+        return 2048 if B >= 2048 else max(128, B)
+
+    @jax.jit
+    def compress(l, r):
+        # sponge duplex: fresh state, absorb [l, r] into rate slots 1..2,
+        # one permutation, squeeze state[1] (src/sponge/poseidon/mod.rs)
+        B = l.shape[0]
+        state = jnp.zeros((B, t, 2 * K), jnp.float32)
+        state = state.at[:, 1, :].set(l).at[:, 2, :].set(r)
+        out = permute_rns(plan, config, state, block_b=blk(B), interpret=interp)
+        return out[:, 1, :]
+
+    @jax.jit
+    def leaf_hash(x):
+        # CRH of a single field element: absorb [x], permute, squeeze
+        B = x.shape[0]
+        state = jnp.zeros((B, t, 2 * K), jnp.float32)
+        state = state.at[:, 1, :].set(x)
+        out = permute_rns(plan, config, state, block_b=blk(B), interpret=interp)
+        return out[:, 1, :]
+
+    return plan, leaf_hash, compress
+
+
+def poseidon_rns_device_tree(spec, config, leaf_elements) -> DeviceMerkleTree:
+    """leaf_elements: python ints (field values), or a pre-converted
+    (n, 2K) float32 RNS array of Montgomery-form values.  Digest rows hold
+    RNS residues of Montgomery-form field elements; root()/generate_proof()
+    convert to canonical ints matching the generic Poseidon MerkleTree."""
+    from crypto_primitives_tpu.ops import rns
+
+    plan, leaf_hash, compress = _rns_compress_fns(spec, config)
+    K = rns.K
+
+    if not isinstance(leaf_elements, (jnp.ndarray, np.ndarray)):
+        mont = np.asarray(
+            [int(x) * plan.M1 % spec.p for x in leaf_elements], dtype=object
+        )
+        r1, r2 = rns.to_rns(plan, mont)
+        leaf_elements = jnp.asarray(np.concatenate([r1, r2], axis=-1))
+
+    inv_M1 = pow(plan.M1, -1, spec.p)
+
+    def to_host(row) -> int:
+        v = int(rns.from_rns(plan, np.asarray(row)[:K]))
+        return v * inv_M1 % spec.p
+
+    return DeviceMerkleTree.build(leaf_hash, compress, leaf_elements, to_host)
