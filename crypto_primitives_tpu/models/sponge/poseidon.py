@@ -136,6 +136,27 @@ def permute(spec: FieldSpec, packed: PackedPoseidon, state: jnp.ndarray) -> jnp.
     return state
 
 
+def _bits_le_to_field(bits: jnp.ndarray, spec) -> jnp.ndarray:
+    """(..., nb) LE bits -> (..., L) Montgomery limbs of spec
+    (from_le_bytes_mod_order semantics; nb <= spec.nbits so at most one
+    conditional subtraction is needed)."""
+    nb = bits.shape[-1]
+    L = spec.num_limbs
+    assert nb <= spec.nbits
+    pad = 16 * L - nb
+    if pad:
+        b = jnp.concatenate(
+            [bits, jnp.zeros(bits.shape[:-1] + (pad,), bits.dtype)], axis=-1
+        )
+    else:
+        b = bits
+    groups = b.reshape(b.shape[:-1] + (L, 16)).astype(jnp.uint32)
+    weights = (jnp.uint32(1) << jnp.arange(16, dtype=jnp.uint32))
+    std = jnp.sum(groups * weights, axis=-1).astype(jnp.uint32)
+    std = ff._cond_sub_p(spec, std)
+    return ff.to_mont_device(spec, std)
+
+
 class PoseidonSpongeBatch:
     """Batched duplex sponge on device; static absorb/squeeze schedule.
 
@@ -253,6 +274,83 @@ class PoseidonSpongeBatch:
             self._permute()
             idx = 0
         return self._squeeze_internal(idx, n)
+
+    # -- CryptographicSponge byte/bit tier (src/sponge/mod.rs:101-154),
+    # -- batched device twins of the host-oracle methods below ------------
+
+    def _squeeze_canonical_bytes_le(self, num_elements: int) -> jnp.ndarray:
+        """num_elements native squeezes -> (..., n, 2L) canonical LE bytes."""
+        spec = self.spec
+        elems = self.squeeze_native_field_elements(num_elements)
+        std = ff.from_mont_device(spec, elems)  # canonical 16-bit limbs
+        lo = (std & 0xFF).astype(jnp.uint8)
+        hi = ((std >> 8) & 0xFF).astype(jnp.uint8)
+        return jnp.stack([lo, hi], axis=-1).reshape(elems.shape[:-1] + (-1,))
+
+    def squeeze_bytes(self, num_bytes: int) -> jnp.ndarray:
+        """(..., num_bytes) uint8; twin of the host oracle's squeeze_bytes
+        (src/sponge/poseidon/mod.rs:259-273)."""
+        spec = self.spec
+        usable = (spec.nbits - 1) // 8
+        n = -(-num_bytes // usable)
+        by = self._squeeze_canonical_bytes_le(n)  # (..., n, 2L)
+        by = by[..., :usable].reshape(by.shape[:-2] + (n * usable,))
+        return by[..., :num_bytes]
+
+    def squeeze_bits(self, num_bits: int) -> jnp.ndarray:
+        """(..., num_bits) bool, LE bit order per element
+        (src/sponge/poseidon/mod.rs:275-289)."""
+        spec = self.spec
+        usable = spec.nbits - 1
+        n = -(-num_bits // usable)
+        elems = self.squeeze_native_field_elements(n)
+        std = ff.from_mont_device(spec, elems)  # (..., n, L) 16-bit limbs
+        bits = (std[..., None] >> jnp.arange(16, dtype=jnp.uint32)) & 1
+        bits = bits.reshape(std.shape[:-1] + (-1,))[..., :usable]
+        return bits.reshape(bits.shape[:-2] + (n * usable,))[..., :num_bits] == 1
+
+    def squeeze_field_elements_with_sizes(self, target_spec, sizes) -> jnp.ndarray:
+        """Cross-field squeeze via bit truncation (src/sponge/mod.rs:57-96).
+        Returns (..., len(sizes), L_target) Montgomery limbs of target_spec.
+        All sizes must currently share one bit-length per call when packing
+        on device; heterogeneous sizes are handled by slicing per size."""
+        from crypto_primitives_tpu.models.sponge import FieldElementSize
+
+        if not sizes:
+            return jnp.zeros(self.batch_shape + (0, target_spec.num_limbs), jnp.uint32)
+        if target_spec.p == self.spec.p and all(
+            s == FieldElementSize.FULL for s in sizes
+        ):
+            return self.squeeze_native_field_elements(len(sizes))
+        nbs = [FieldElementSize.num_bits(s, target_spec) for s in sizes]
+        bits = self.squeeze_bits(sum(nbs))
+        outs = []
+        window = 0
+        for nb in nbs:
+            chunk = bits[..., window : window + nb]
+            window += nb
+            outs.append(_bits_le_to_field(chunk, target_spec))
+        return jnp.stack(outs, axis=-2)
+
+    def fork(self, domain: bytes) -> "PoseidonSpongeBatch":
+        """Domain separation (src/sponge/mod.rs:145-153): clone + absorb
+        len-prefixed domain bytes (the prefix/domain field elements are
+        static, computed host-side and broadcast over the batch)."""
+        from crypto_primitives_tpu.models.sponge.absorb import (
+            Usize,
+            to_sponge_bytes,
+            to_sponge_field_elements,
+        )
+
+        new = PoseidonSpongeBatch(
+            self.config, batch_shape=self.batch_shape, state=self.state
+        )
+        new.mode, new.index = self.mode, self.index
+        inp = to_sponge_bytes(Usize(len(domain)), self.spec) + bytes(domain)
+        vals = to_sponge_field_elements(inp, self.spec)
+        packed = jnp.asarray(self.spec.pack([vals]))[0]  # (k, L)
+        new.absorb(jnp.broadcast_to(packed, self.batch_shape + packed.shape))
+        return new
 
 
 # ----------------------------------------------------------------------
