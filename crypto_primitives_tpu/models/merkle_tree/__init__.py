@@ -60,7 +60,7 @@ class ByteDigestDomain:
         self.width = width
 
     def default_host(self):
-        return b"\x00" * self.width
+        return b""  # Vec<u8>::default() is the empty vector (ark semantics)
 
     def zeros(self, n: int) -> np.ndarray:
         return np.zeros((n, self.width), dtype=np.uint8)
@@ -303,6 +303,9 @@ class MerkleTree:
         self.non_leaf_nodes = non_leaf_nodes  # (N-1, D) level order, root first
         self.leaf_nodes = leaf_nodes  # (N, D)
         self.height = height
+        # blank byte trees: untouched leaf digests are the EMPTY vector
+        # (Vec<u8>::default()); mask rows read back as b"" until updated
+        self._leaf_is_blank = None
 
     # -- construction --
 
@@ -346,14 +349,36 @@ class MerkleTree:
               height: int) -> "MerkleTree":
         """mod.rs:400-408 (leaves = default digests).
 
-        NOTE: for byte trees the reference's default `Vec<u8>` digest is the
-        *empty* vector; our fixed-width arrays use zero-filled digests of the
-        scheme's width instead (documented delta — affects only blank trees).
+        Byte domains: the reference's default `Vec<u8>` digest is the
+        *empty* vector, so the bottom inner level hashes converted empty
+        digests and reads of untouched leaf digests return b"".  Since all
+        leaves are identical, each level holds one repeated value — built
+        host-side in O(height) instead of O(n) hashes.
         """
-        leaf_digests = config.leaf_domain.zeros(1 << (height - 1))
-        return cls.new_with_leaf_digest(
-            config, leaf_hash_param, two_to_one_param, jnp.asarray(leaf_digests)
+        n = 1 << (height - 1)
+        dom = config.leaf_domain
+        blank_leaf = dom.default_host()
+        conv = config.leaf_inner_converter
+        cur = config.two_to_one_hash.evaluate(
+            two_to_one_param, conv.convert(blank_leaf), conv.convert(blank_leaf)
         )
+        levels = [np.stack([config.inner_domain.from_host(cur)] * (n // 2))]
+        while levels[-1].shape[0] > 1:
+            cur = config.two_to_one_hash.compress(two_to_one_param, cur, cur)
+            levels.append(
+                np.stack(
+                    [config.inner_domain.from_host(cur)]
+                    * (levels[-1].shape[0] // 2)
+                )
+            )
+        levels.reverse()
+        non_leaf = np.concatenate(levels, axis=0)
+        tree = cls(config, leaf_hash_param, two_to_one_param, non_leaf,
+                   np.asarray(dom.zeros(n)), height)
+        if isinstance(blank_leaf, (bytes, bytearray)) and len(blank_leaf) == 0:
+            # untouched leaf digests read back as the empty vector
+            tree._leaf_is_blank = np.ones(n, dtype=bool)
+        return tree
 
     # -- accessors --
 
@@ -362,6 +387,8 @@ class MerkleTree:
 
     def get_leaf_sibling_hash(self, index: int):
         j = index + 1 if index & 1 == 0 else index - 1
+        if self._leaf_is_blank is not None and self._leaf_is_blank[j]:
+            return self.config.leaf_domain.default_host()
         return self.config.leaf_domain.to_host(self.leaf_nodes[j])
 
     def _compute_auth_path(self, index: int) -> List[Any]:
@@ -408,9 +435,9 @@ class MerkleTree:
         cfg = self.config
         new_leaf_hash = cfg.leaf_hash.evaluate(self.leaf_hash_param, new_leaf)
         if index & 1 == 0:
-            leaf_left, leaf_right = new_leaf_hash, cfg.leaf_domain.to_host(self.leaf_nodes[index + 1])
+            leaf_left, leaf_right = new_leaf_hash, self.get_leaf_sibling_hash(index)
         else:
-            leaf_left, leaf_right = cfg.leaf_domain.to_host(self.leaf_nodes[index - 1]), new_leaf_hash
+            leaf_left, leaf_right = self.get_leaf_sibling_hash(index), new_leaf_hash
         conv = cfg.leaf_inner_converter
         path_bottom_to_top = [
             cfg.two_to_one_hash.evaluate(
@@ -432,6 +459,8 @@ class MerkleTree:
 
     def _apply_update(self, index, new_leaf_hash, updated_path_root_first):
         self.leaf_nodes[index] = self.config.leaf_domain.from_host(new_leaf_hash)
+        if self._leaf_is_blank is not None:
+            self._leaf_is_blank[index] = False
         path = list(updated_path_root_first)
         curr = _convert_index_to_last_level(index, self.height)
         for _ in range(self.height - 1):

@@ -45,6 +45,7 @@ def test_device_add_vs_host(rng, curve):
         assert sid[i] == pts1[i]
 
 
+@pytest.mark.slow
 def test_device_scalar_mul_and_sum(rng):
     curve = JUBJUB
     g = curve.rand_point(rng)

@@ -101,6 +101,7 @@ def test_sha_device_update_batch(sha_trees, rng):
     assert dev.root() == host.root()
 
 
+@pytest.mark.slow
 def test_poseidon_rns_device_tree_matches_generic(rng):
     cfg, params, leaves_host, leaves_dev, host_tree = build_poseidon_tree(rng, 16)
     pcfg = get_default_poseidon_parameters(FR, 2, False)
@@ -115,6 +116,7 @@ def test_poseidon_rns_device_tree_matches_generic(rng):
         assert p_dev.auth_path == p_host.auth_path
 
 
+@pytest.mark.slow
 def test_poseidon_rns_device_batch_verify_and_update(rng):
     cfg, params, leaves_host, leaves_dev, host_tree = build_poseidon_tree(rng, 8)
     pcfg = get_default_poseidon_parameters(FR, 2, False)

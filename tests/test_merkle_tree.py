@@ -54,6 +54,7 @@ def build_poseidon_tree(rng, n):
     return cfg, params, leaves_host, leaves_dev, tree
 
 
+@pytest.mark.slow
 def test_poseidon_tree_root_matches_host_oracle(rng):
     """Device-built root == pure-python chain (cross-model, SURVEY §4.3)."""
     cfg, params, leaves_host, _, tree = build_poseidon_tree(rng, 8)

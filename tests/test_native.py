@@ -31,6 +31,7 @@ def test_native_poseidon_permute(rng):
         assert g == oracle.state
 
 
+@pytest.mark.slow
 def test_native_two_to_one_and_merkle(rng):
     cfg = get_default_poseidon_parameters(FR, 2, False)
     eng = native.NativePoseidon(cfg)

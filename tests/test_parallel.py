@@ -24,6 +24,8 @@ from crypto_primitives_tpu.parallel import (
     sharded_merkle_root,
 )
 
+pytestmark = pytest.mark.slow  # device-oracle fuzz tier (run_tests.sh)
+
 
 def test_mesh_has_8_devices():
     assert len(jax.devices()) == 8

@@ -26,6 +26,8 @@ from crypto_primitives_tpu.models.crh.pedersen import (
 )
 from crypto_primitives_tpu.ops.curves_known import JUBJUB
 
+pytestmark = pytest.mark.slow  # device-oracle fuzz tier (run_tests.sh)
+
 W = Window(window_size=4, num_windows=16)  # 64-bit input, small & fast
 
 

@@ -9,6 +9,8 @@ from crypto_primitives_tpu.models.sponge import PoseidonSponge, get_default_pose
 from crypto_primitives_tpu.ops.fields_known import BLS12_381_FR as FR
 from crypto_primitives_tpu.ops.poseidon_pallas import permute_pallas
 
+pytestmark = pytest.mark.slow  # device-oracle fuzz tier (run_tests.sh)
+
 
 def test_pallas_kernel_interpret_matches_oracle(rng):
     cfg = get_default_poseidon_parameters(FR, 2, False)

@@ -95,6 +95,7 @@ def _build_tree(rng, pcfg, n=8):
     return cfg, leaves, tree
 
 
+@pytest.mark.slow
 def test_merkle_path_gadget(rng, pcfg):
     """merkle_tree/constraints.rs verify_membership pattern
     (tests/constraints.rs:55-147), incl. the bad-root twin: with a wrong
