@@ -44,7 +44,6 @@ def _plan_consts(plan: rns.RNSPlan, config):
     # stacked per-base vectors over 2K rows
     inv_all = col(np.concatenate([plan.inv_m1, plan.inv_m2]))
     m_all = col(np.concatenate([plan.m1, plan.m2]))
-    k12 = lambda ms: col([(1 << 12) % int(m) for m in ms])
     consts = dict(
         inv_all=inv_all,
         m_all=m_all,
@@ -58,9 +57,7 @@ def _plan_consts(plan: rns.RNSPlan, config):
         p2c2=col(plan.p2c2),
         negM1=col(plan.negM1),
         negM2=col(plan.negM2),
-        k12_1=k12(plan.m1),
-        k12_2=k12(plan.m2),
-        ext1_w=plan.ext1_w,  # (3K+3, 2K)
+        ext1_w=plan.ext1_w,  # (2K+3, 2K)
         ext2_w=plan.ext2_w,
     )
     def rns_rows(v: int) -> np.ndarray:
@@ -118,7 +115,12 @@ def _make_kernel(plan: rns.RNSPlan, config, ablate: str = ""):
     f32 = jnp.float32
 
     def kernel(ark0_ref, arkf_ref, mds_ref, e1w_ref, e2w_ref, vec_ref, state_ref, out_ref):
-        # vec_ref packs the 12 per-base column constants as (12, 2K, 1)
+        # v6: the t state elements ride the LANE axis stacked side by side —
+        # one (2K, t*B) array instead of a t-tuple of (2K, B).  Every
+        # mont_reduce (sbox chains in full rounds, the whole MDS output) then
+        # issues t-x-wider, t-x-fewer MXU matmuls; per-element access (MDS
+        # products, partial-round s-box) is aligned lane slicing.
+        # vec_ref packs the per-base column constants as (12, 2K, 1)
         v = vec_ref[...]
         inv_all, m_all = v[0], v[1]
         inv1, m1 = v[2, :K], v[3, :K]
@@ -126,8 +128,7 @@ def _make_kernel(plan: rns.RNSPlan, config, ablate: str = ""):
         c_sigma = v[6, :K]
         p2, c2 = v[7, :K], v[8, :K]
         negM1, negM2 = v[9, :K], v[10, :K]
-        k12_1, k12_2 = v[11, :K], v[12, :K]
-        p2c2 = v[13, :K]
+        p2c2 = v[11, :K]
         e1w = e1w_ref[...]
         e2w = e2w_ref[...]
         mdsc = mds_ref[...]
@@ -136,25 +137,33 @@ def _make_kernel(plan: rns.RNSPlan, config, ablate: str = ""):
             q = jnp.floor(w * inv)
             return w - q * m
 
-        def ext(s, W, negM, inv, m, k12, delta):
-            """Single-red recombine: X = S0 + 64*S1 + red(S2)*k12 + lam*negM
-            stays < 2^24 (k12 = 4096-2m < 710 for all bases; bound asserted
-            in rns.build_plan)."""
+        def ext(s, W, negM, inv, m, delta):
+            """No-mid-red recombine (rns._ext_matrix): the 4096*S2 plane is
+            folded into the U0/U1 weight blocks mod m, so
+            X = U0 + 64*U1 + lam*negM stays < 2^24 (bound asserted in
+            rns.build_plan) and only the final Barrett red remains."""
             d1 = jnp.floor(s * f32(2.0**-DIGIT))
             d0 = s - d1 * f32(1 << DIGIT)
             if "nomxu" in ablate:
-                out = jnp.concatenate([d0, d1, d0, d0[:3]], axis=0)
-            else:
+                out = jnp.broadcast_to(d0[:1], (2 * K + 3, d0.shape[1]))
+            elif "bf16cast" in ablate:
                 x = jnp.concatenate([d0, d1], axis=0).astype(jnp.bfloat16)
+                out = jax.lax.dot(
+                    W.astype(jnp.bfloat16), x, preferred_element_type=f32
+                )
+            else:
+                # f32 operands straight into the MXU: digits < 2^7 and
+                # weights < 2^8 (or small-int * 2^-LAM_SHIFT) are bf16-exact,
+                # so the single bf16 pass Mosaic emits is exact and the VPU
+                # skips a (2K, W) cast per extension
+                x = jnp.concatenate([d0, d1], axis=0)
                 out = jax.lax.dot(W, x, preferred_element_type=f32)
-            S0, S1, S2 = out[:K], out[K : 2 * K], out[2 * K : 3 * K]
-            L0, L1, L2 = out[3 * K : 3 * K + 1], out[3 * K + 1 : 3 * K + 2], out[3 * K + 2 :]
-            lam_v = (L0 + f32(64.0) * L1) + f32(4096.0) * L2
-            lam = jnp.floor(lam_v * f32(2.0**-LAM_SHIFT) + f32(delta))
+            U0, U1 = out[:K], out[K : 2 * K]
+            L0, L1, L2 = out[2 * K : 2 * K + 1], out[2 * K + 1 : 2 * K + 2], out[2 * K + 2 :]
+            lam = jnp.floor((L0 + L1) + L2 + f32(delta))  # scales folded in W
             if "nored" in ablate:
-                return red(S0 + lam * negM, inv, m)
-            s2r = red(S2, inv, m)
-            X = ((S0 + f32(64.0) * S1) + s2r * k12) + lam * negM
+                return red(U0 + lam * negM, inv, m)
+            X = (U0 + f32(64.0) * U1) + lam * negM
             return red(X, inv, m)
 
         def mont_reduce(w, ark2=None, s1_ready=False):
@@ -168,7 +177,7 @@ def _make_kernel(plan: rns.RNSPlan, config, ablate: str = ""):
                 s1 = w[:K]
             else:
                 s1 = red(w[:K] * c_sigma, inv1, m1)
-            qh = ext(s1, e1w, negM1, inv2, m2, k12_2, DELTA1)
+            qh = ext(s1, e1w, negM1, inv2, m2, DELTA1)
             # merged t0/omega: (w2 + qh*p2)*c2 = w2*c2 + qh*(p2*c2 mod m);
             # bound 2*(2m-1)*(m-1) + ark < 2^24, exact (see rns.mont_reduce_np)
             if "nosig" in ablate:
@@ -178,7 +187,7 @@ def _make_kernel(plan: rns.RNSPlan, config, ablate: str = ""):
             if ark2 is not None:
                 om_pre = om_pre + ark2
             om = red(om_pre, inv2, m2)
-            r1 = ext(om, e2w, negM2, inv1, m1, k12_1, DELTA2)
+            r1 = ext(om, e2w, negM2, inv1, m1, DELTA2)
             return jnp.concatenate([r1, om], axis=0)
 
         def mont_mul(a, b):
@@ -193,55 +202,73 @@ def _make_kernel(plan: rns.RNSPlan, config, ablate: str = ""):
                     acc = mont_mul(acc, x)
             return acc
 
-        def mds_ark(elems, r):
+        def mds_ark(stk, r):
             """MDS row dot (lazy residue accumulation: pairs of products
-            sum exactly under 2^24 before one Barrett) -> full Montgomery
-            reduction (integer bound < 12p^2 < p*M1) with ark[r+1] folded
-            into its omega red.  MDS constants are sigma-pre-twisted in B1
-            (s1_ready) and tau-twisted in B2."""
+            sum exactly under 2^24 before one Barrett) -> ONE stacked full
+            Montgomery reduction (integer bound < 12p^2 < p*M1) with
+            ark[r+1] folded into its omega red.  MDS constants are
+            sigma-pre-twisted in B1 (s1_ready) and tau-twisted in B2."""
+            B = stk.shape[1] // t
             ark_next = arkf_ref[r]  # (t*K, 1) tau-twisted B2 rows
-            new = []
+            accs = []
             for i in range(t):
                 # acc after the first red is < 2m < 2^12, so every later
                 # (acc + product) sum stays < 2^23 + 2^12: exact in f32
-                acc = elems[0] * mdsc[i, 0]
+                acc = stk[:, :B] * mdsc[i, 0]
                 for j in range(1, t):
-                    acc = red(acc + elems[j] * mdsc[i, j], inv_all, m_all)
-                arow = jnp.broadcast_to(
-                    ark_next[i * K : (i + 1) * K], (K, acc.shape[1])
-                )
-                new.append(mont_reduce(acc, ark2=arow, s1_ready=True))
-            return tuple(new)
+                    acc = red(
+                        acc + stk[:, j * B : (j + 1) * B] * mdsc[i, j],
+                        inv_all,
+                        m_all,
+                    )
+                accs.append(acc)
+            w = jnp.concatenate(accs, axis=1)  # (2K, t*B)
+            arow = jnp.concatenate(
+                [
+                    jnp.broadcast_to(ark_next[i * K : (i + 1) * K], (K, B))
+                    for i in range(t)
+                ],
+                axis=1,
+            )
+            return mont_reduce(w, ark2=arow, s1_ready=True)
 
-        def round_fn(elems, r, full):
+        def round_fn(stk, r, full):
             if "nosbox" not in ablate:
                 if full:
-                    elems = tuple(sbox(e) for e in elems)
+                    stk = sbox(stk)
                 else:
-                    elems = (sbox(elems[0]),) + elems[1:]
+                    B = stk.shape[1] // t
+                    stk = jnp.concatenate(
+                        [sbox(stk[:, :B]), stk[:, B:]], axis=1
+                    )
             if "nomds" in ablate:
-                return tuple(red(e + f32(1.0), inv_all, m_all) for e in elems)
-            return mds_ark(elems, r)
+                return red(stk + f32(1.0), inv_all, m_all)
+            return mds_ark(stk, r)
 
         st = state_ref[...]
-        elems = tuple(st[i * 2 * K : (i + 1) * 2 * K] for i in range(t))
+        stk = jnp.concatenate(
+            [st[i * 2 * K : (i + 1) * 2 * K] for i in range(t)], axis=1
+        )  # (2K, t*B) lane-stacked elements
         ark0 = ark0_ref[...]
-        elems = tuple(
-            red(
-                e + jnp.broadcast_to(ark0[i * 2 * K : (i + 1) * 2 * K], e.shape),
-                inv_all,
-                m_all,
-            )
-            for i, e in enumerate(elems)
+        B0 = st.shape[1]
+        ark0_stk = jnp.concatenate(
+            [
+                jnp.broadcast_to(ark0[i * 2 * K : (i + 1) * 2 * K], (2 * K, B0))
+                for i in range(t)
+            ],
+            axis=1,
         )
-        elems = jax.lax.fori_loop(0, rf2, lambda r, es: round_fn(es, r, True), elems)
-        elems = jax.lax.fori_loop(
-            rf2, rf2 + R_P, lambda r, es: round_fn(es, r, False), elems
+        stk = red(stk + ark0_stk, inv_all, m_all)
+        stk = jax.lax.fori_loop(0, rf2, lambda r, s: round_fn(s, r, True), stk)
+        stk = jax.lax.fori_loop(
+            rf2, rf2 + R_P, lambda r, s: round_fn(s, r, False), stk
         )
-        elems = jax.lax.fori_loop(
-            rf2 + R_P, R_T, lambda r, es: round_fn(es, r, True), elems
+        stk = jax.lax.fori_loop(
+            rf2 + R_P, R_T, lambda r, s: round_fn(s, r, True), stk
         )
-        out_ref[...] = jnp.concatenate(list(elems), axis=0)
+        out_ref[...] = jnp.concatenate(
+            [stk[:, i * B0 : (i + 1) * B0] for i in range(t)], axis=0
+        )
 
     return kernel, consts
 
@@ -253,7 +280,7 @@ def _build_rns_permute(
     t = config.t
     kernel, consts = _make_kernel(plan, config, ablate)
 
-    # pack the column constants into one (13, 2K, 1) array; base-1-only
+    # pack the column constants into one (12, 2K, 1) array; base-1-only
     # vectors sit in rows :K with zero padding
     def pad2k(a):
         out = np.zeros((2 * K, 1), dtype=np.float32)
@@ -273,8 +300,6 @@ def _build_rns_permute(
             pad2k(consts["c2"]),
             pad2k(consts["negM1"]),
             pad2k(consts["negM2"]),
-            pad2k(consts["k12_1"]),
-            pad2k(consts["k12_2"]),
             pad2k(consts["p2c2"]),
         ]
     )
@@ -318,8 +343,8 @@ def _build_rns_permute(
             jnp.asarray(consts["ark0"]),
             jnp.asarray(consts["arkf"]),
             jnp.asarray(consts["mds"]),
-            jnp.asarray(consts["ext1_w"], dtype=jnp.bfloat16),
-            jnp.asarray(consts["ext2_w"], dtype=jnp.bfloat16),
+            jnp.asarray(consts["ext1_w"]),
+            jnp.asarray(consts["ext2_w"]),
             jnp.asarray(vec_np),
             st,
         )

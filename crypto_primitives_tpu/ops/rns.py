@@ -93,37 +93,56 @@ class RNSPlan:
 
 
 def _ext_matrix(c_cols: np.ndarray, m_out: np.ndarray, lam_w: np.ndarray):
-    """Build the digit-split extension matmul weights.
+    """Build the digit-split extension matmul weights (folded-S2 form).
 
     Input vector (per batch lane): [s_d0 (K rows); s_d1 (K rows)] — the two
     6-bit digits of the K source residues (values < 2^12).
-    Output rows: [S0 (K); S1 (K); S2 (K); L0 (1); L1 (1)] where
-      S_d[j] = sum_i  sum_{a+b=d} s_da[i] * c_db[j,i]
-      L_d    = sum_i  s_dd?  — lambda rows: L0 = sum s_d0[i]*w0[i] + ...
-    c_cols: (K_out, K_in) int64 matrix of constants (< 2^11 -> 2 digits).
-    lam_w: (K_in,) int64 lambda weights (< 2^11 -> 2 digits).
-    Returns (W, n_out) with W shape (3*K_out + 2, 2*K_in) float32 of values
-    < 2^6 (bf16-exact).
+
+    The true per-row sum is T = sum_i s_i*c[j,i] = S0 + 64*S1 + 4096*S2
+    with S_d the digit-plane partial sums.  Instead of reducing S2 on the
+    VPU and recombining with a k12 constant (one Barrett red + one fma per
+    extension), fold the 4096 scale into the weights mod m_j:
+        f[j,i] = (4096 * c1[j,i]) mod m_j = f0 + 64*f1   (f < m < 2^11)
+    and emit two MERGED output blocks
+        U0[j] = sum_i d0*c0 + d1*f0          (weights < 64)
+        U1[j] = sum_i d0*c1 + d1*(c0 + f1)   (weights < 128, bf16-exact)
+    so that X = U0 + 64*U1 + lam*negM  ==  T (mod m_j) needs NO mid red:
+    X < 24*63*126 + 64*24*63*125 + 49*2047 < 12.5M < 2^24 (f32-exact).
+
+    Output rows: [U0 (K); U1 (K); L0; L1; L2], lambda rows as before:
+    lam_v = L0 + 64*L1 + 4096*L2 ~= sum_i s_i * lam_w_i.
+    Returns W shape (2*K_out + 3, 2*K_in) float32, entries < 2^7.
     """
     k_out, k_in = c_cols.shape
     c0, c1 = _digits(c_cols, 2)
+    f = (4096 * c1) % m_out[:, None]
+    f0, f1 = _digits(f, 2)
     w0, w1 = _digits(lam_w, 2)
-    W = np.zeros((3 * k_out + 3, 2 * k_in), dtype=np.float32)
-    # S0 = d0 @ c0.T
+    W = np.zeros((2 * k_out + 3, 2 * k_in), dtype=np.float32)
+    # U0 = d0 @ c0.T + d1 @ f0.T
     W[0:k_out, 0:k_in] = c0
-    # S1 = d0 @ c1.T + d1 @ c0.T
+    W[0:k_out, k_in : 2 * k_in] = f0
+    # U1 = d0 @ c1.T + d1 @ (c0 + f1).T
     W[k_out : 2 * k_out, 0:k_in] = c1
-    W[k_out : 2 * k_out, k_in : 2 * k_in] = c0
-    # S2 = d1 @ c1.T
-    W[2 * k_out : 3 * k_out, k_in : 2 * k_in] = c1
-    # lambda rows, same digit structure: lam_v = L0 + 64*L1 + 4096*L2 where
-    # lam_v = sum_i s_i * lam_w_i (f32-rounded in the L2 term, error << 1)
-    W[3 * k_out, 0:k_in] = w0
-    W[3 * k_out + 1, 0:k_in] = w1
-    W[3 * k_out + 1, k_in : 2 * k_in] = w0
-    W[3 * k_out + 2, k_in : 2 * k_in] = w1
-    # every entry must be a bf16-exact small integer (< 2^6 here)
-    assert np.all((W >= 0) & (W < 64) & (W == np.floor(W)))
+    W[k_out : 2 * k_out, k_in : 2 * k_in] = c0 + f1
+    # lambda rows with the recombine scales folded in as power-of-two
+    # factors (exact in bf16/f32: same mantissas, shifted exponents), so the
+    # kernel computes lam_v = L0 + L1 + L2 with two adds and no scaling:
+    #   L0 = 2^-S * d0@w0;  L1 = 2^-S*64 * (d0@w1 + d1@w0);
+    #   L2 = 2^-S*4096 * d1@w1          (S = LAM_SHIFT)
+    sc = 2.0**-LAM_SHIFT
+    W[2 * k_out, 0:k_in] = w0 * sc
+    W[2 * k_out + 1, 0:k_in] = w1 * (64 * sc)
+    W[2 * k_out + 1, k_in : 2 * k_in] = w0 * (64 * sc)
+    W[2 * k_out + 2, k_in : 2 * k_in] = w1 * (4096 * sc)
+    # every entry must be bf16-exact: an integer < 2^8 (U rows) or such an
+    # integer times a power of two (lambda rows)
+    assert np.all(W >= 0)
+    ints = W[: 2 * k_out]
+    assert np.all(ints < 128) and np.all(ints == np.floor(ints))
+    lam_ints = W[2 * k_out :] * 2.0**LAM_SHIFT
+    assert np.all(lam_ints == np.floor(lam_ints))
+    assert np.all((w0 < 64) & (w1 < 64))
     return W
 
 
@@ -140,15 +159,12 @@ def build_plan(p: int) -> RNSPlan:
     for m in b2:
         M2 *= m
     assert M1 > 16 * p and M2 > 16 * p, "bases too small for beta=4 fixpoint"
-    # single-red recombine exactness (see _ext): X = S0 + 64*S1 + s2r*k12
+    # no-mid-red recombine exactness (see _ext_matrix): X = U0 + 64*U1
     # + lam*negM + ark must stay < 2^24 for all bases
     mmax = max(primes)
-    k12max = max(4096 - 2 * m for m in primes)
-    assert all(1 <= 4096 // m <= 2 for m in primes)
     xmax = (
-        K * 63 * 63  # S0
-        + 64 * K * (63 * 31 + 63 * 63)  # 64*S1
-        + 2 * mmax * k12max  # s2r*k12
+        K * (63 * 63 + 63 * 63)  # U0 = d0*c0 + d1*f0
+        + 64 * K * (63 * 31 + 63 * (63 + 31))  # 64*U1 = d0*c1 + d1*(c0+f1)
         + (2 * K + 1) * mmax  # lam*negM
         + 2 * mmax  # folded ark
     )
@@ -177,6 +193,12 @@ def build_plan(p: int) -> RNSPlan:
     lam_w2 = np.array([round(2**LAM_SHIFT / m) for m in b2], dtype=np.int64)
     ext1_w = _ext_matrix(C1, m2, lam_w1)
     ext2_w = _ext_matrix(C2, m1, lam_w2)
+    # exact recombine bound per output row: digits <= 63, lam <= 2K+1
+    for Wm, nM in ((ext1_w, negM1), (ext2_w, negM2)):
+        u0 = 63.0 * Wm[:K].sum(axis=1)
+        u1 = 63.0 * Wm[K : 2 * K].sum(axis=1)
+        xb = u0 + 64.0 * u1 + (2 * K + 1) * nM.max() + 2 * mmax
+        assert xb.max() < 1 << 24, f"recombine overflow: {xb.max()}"
     mont_one_int = M1 % p
     plan = RNSPlan(
         p=p,
@@ -249,22 +271,17 @@ def _ext(plan: RNSPlan, s, W, negM, inv_out, m_out, delta, extra=None):
     """Base extension: s (..., K) lazy residues -> (..., K) residues of the
     represented integer (+ {0,1} * M_src for ext1's one-sided delta).
 
-    Single-red recombine: all 48 primes are >= 2^12/2.42, so
-    k12 = 2^12 mod m = 4096 - 2m < 710 and the full combination
-    X = S0 + 64*S1 + red(S2)*k12 + lam*negM (+ extra) is < ~12.6M < 2^24,
-    f32-exact.  `extra` rides the same red (ark folding)."""
+    Folded-S2 recombine (see _ext_matrix): X = U0 + 64*U1 + lam*negM
+    (+ extra) is < ~12.6M < 2^24, f32-exact — no mid Barrett red."""
     s = F(s)
     s0 = F(np.floor(s * F(2.0**-DIGIT)))
     d0 = F(s - s0 * F(2.0**DIGIT))  # low digit
     x = np.concatenate([d0, s0], axis=-1)  # (..., 2K)
     out = F(x @ W.T.astype(np.float32))  # kernel: bf16 matmul, f32 accum
-    S0, S1, S2 = out[..., :K], out[..., K : 2 * K], out[..., 2 * K : 3 * K]
-    L0, L1, L2 = out[..., 3 * K], out[..., 3 * K + 1], out[..., 3 * K + 2]
-    lam_v = F(F(L0 + F(64.0) * L1) + F(4096.0) * L2)
-    lam = np.floor(lam_v * F(2.0**-LAM_SHIFT) + F(delta))[..., None]
-    s2r = red(S2, inv_out, m_out)
-    k12 = F(np.asarray([(1 << 12) % int(m) for m in m_out], dtype=np.float32))
-    X = F(F(F(S0 + F(64.0) * S1) + s2r * k12) + F(lam) * F(negM))
+    U0, U1 = out[..., :K], out[..., K : 2 * K]
+    L0, L1, L2 = out[..., 2 * K], out[..., 2 * K + 1], out[..., 2 * K + 2]
+    lam = np.floor(F(F(L0 + L1) + L2) + F(delta))[..., None]  # scales in W
+    X = F(F(U0 + F(64.0) * U1) + F(lam) * F(negM))
     if extra is not None:
         X = F(X + F(extra))
     return red(X, inv_out, m_out)
