@@ -192,11 +192,13 @@ class PoseidonSpongeBatch:
         # On TPU with a reasonable batch, use the fused Pallas kernel
         # (ops/poseidon_pallas.py); otherwise the XLA path.
         batch = int(np.prod(self.batch_shape)) if self.batch_shape else 1
-        if jax.default_backend() == "tpu" and batch >= 256 and len(self.batch_shape) == 1:
+        if jax.default_backend() == "tpu" and batch >= 256:
             from crypto_primitives_tpu.ops.poseidon_pallas import permute_pallas
 
             blk = 1024 if batch >= 1024 else 256
-            self.state = permute_pallas(self.spec, self.config, self.state, block_b=blk)
+            st = self.state.reshape((batch,) + self.state.shape[-2:])
+            st = permute_pallas(self.spec, self.config, st, block_b=blk)
+            self.state = st.reshape(self.state.shape)
         else:
             self.state = permute(self.spec, self.packed, self.state)
 

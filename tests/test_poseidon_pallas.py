@@ -39,7 +39,7 @@ def test_pallas_kernel_padding(rng):
     assert [int(v) for v in FR.unpack(out[2])] == oracle.state
 
 
-@pytest.mark.parametrize("rate", [3, 8])
+@pytest.mark.parametrize("rate", [3, 4, 5, 6, 7, 8])
 def test_pallas_kernel_wide_rates(rng, rate):
     """t=4 and t=9 exercise the chunked MDS matmul and the 8-digit
     compression pass (f32-exactness bounds)."""

@@ -81,7 +81,7 @@ def test_chained_x17(plan, rng):
         assert got == pow(x, 17, P)
 
 
-@pytest.mark.parametrize("rate", [2, 3])
+@pytest.mark.parametrize("rate", [2, 3, 4, 5, 6, 7, 8])
 def test_rns_kernel_interpret_matches_oracle(plan, rng, rate):
     cfg = get_default_poseidon_parameters(FR, rate, False)
     B = 3

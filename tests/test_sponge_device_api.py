@@ -82,3 +82,21 @@ def test_interleaved_schedule_bytes_then_absorb_then_bits(pair):
         assert bytes(b1[i]) == h.squeeze_bytes(10)
         h.absorb_elements([7])
         assert b2[i].tolist() == h.squeeze_bits(17)
+
+
+def test_multi_dim_batch_shape_matches_flat(rng):
+    """(B1, B2) batch shapes produce the same squeeze as flattened (B1*B2,)
+    — the Pallas dispatch flattens internally (models/sponge/poseidon.py
+    _permute), so multi-dim batches must not silently diverge."""
+    cfg = get_default_poseidon_parameters(FR, 2, False)
+    B1, B2 = 2, 3
+    vals = [[rng.randrange(FR.p) for _ in range(3)] for _ in range(B1 * B2)]
+    flat = PoseidonSpongeBatch(cfg, batch_shape=(B1 * B2,))
+    flat.absorb(jnp.asarray(FR.pack(vals)))
+    nested = PoseidonSpongeBatch(cfg, batch_shape=(B1, B2))
+    nested.absorb(
+        jnp.asarray(FR.pack(vals)).reshape((B1, B2) + (3, FR.num_limbs))
+    )
+    got_f = np.asarray(flat.squeeze_native_field_elements(2))
+    got_n = np.asarray(nested.squeeze_native_field_elements(2))
+    assert got_n.reshape(got_f.shape).tolist() == got_f.tolist()
