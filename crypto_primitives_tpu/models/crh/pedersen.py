@@ -116,7 +116,7 @@ class PedersenCRH:
         """Host tier: exact mirror of mod.rs:76-129."""
         data = self._check_and_pad(bytes(input_))
         bits = bytes_to_bits(data)
-        acc = (0, 1)
+        acc = self.curve.zero_host()
         for w in range(self.window.num_windows):
             chunk = bits[w * self.window.window_size : (w + 1) * self.window.window_size]
             for bit, base in zip(chunk, params.generators[w]):
@@ -129,11 +129,11 @@ class PedersenCRH:
         nbytes = inputs.shape[-1]
         assert nbytes * 8 <= self.input_size_bits
         bits = jnp.asarray(bytes_to_bits_batch(np.asarray(inputs), self.input_size_bits))
-        return cv.te_conditional_sum(self.curve, params.packed_flat(), bits)
+        return self.curve.dev_conditional_sum(params.packed_flat(), bits)
 
     def evaluate_batch(self, params: PedersenParameters, inputs: jnp.ndarray) -> jnp.ndarray:
         """inputs (..., nbytes) uint8 -> affine digests (..., 2, L) Montgomery."""
-        return cv.te_to_affine(self.curve, self.evaluate_batch_extended(params, inputs))
+        return self.curve.dev_to_affine(self.evaluate_batch_extended(params, inputs))
 
 
 class PedersenTwoToOneCRH:

@@ -159,6 +159,22 @@ class TECurveSpec:
             data[-1] |= 0x80
         return bytes(data)
 
+    def zero_host(self):
+        return (0, 1)
+
+    # ------------- generic-curve device shims (Pedersen et al.) ---------
+
+    coords = 4
+
+    def dev_identity(self, shape=()):
+        return identity(self, shape)
+
+    def dev_conditional_sum(self, table, bits):
+        return te_conditional_sum(self, table, bits)
+
+    def dev_to_affine(self, pts):
+        return te_to_affine(self, pts)
+
     # ------------- host <-> device packing -------------
 
     def pack_points(self, pts) -> np.ndarray:

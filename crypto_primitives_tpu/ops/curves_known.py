@@ -65,3 +65,27 @@ def deterministic_generator(curve: TECurveSpec):
 
 JUBJUB.generator = deterministic_generator(JUBJUB)
 ED_ON_BLS12_377.generator = deterministic_generator(ED_ON_BLS12_377)
+
+
+# ----------------------------------------------------------------------
+# Short-Weierstrass instances (ops/curve_sw.py) — the reference's
+# primitives are generic over any ark-ec CurveGroup incl. SW
+# (src/sponge/absorb.rs:263-282); BLS12-381 G1 is the canonical example.
+# ----------------------------------------------------------------------
+
+from crypto_primitives_tpu.ops.curve_sw import SWCurveSpec
+from crypto_primitives_tpu.ops.fields_known import BLS12_381_FQ
+
+BLS12_381_G1 = SWCurveSpec(
+    "bls12_381_g1",
+    base=BLS12_381_FQ,
+    scalar=BLS12_381_FR,
+    a=0,
+    b=4,
+    cofactor=0x396C8C005555E1568C00AAAB0000AAAB,
+    generator=(
+        3685416753713387016781088315183077757961620795782546409894578378688607592378376318836054947676345821548104185464507,
+        1339506544944476473020471379941921221584933875938349620426543736416511423956333506472724655353366534992391756441569,
+    ),
+)
+assert BLS12_381_G1.is_on_curve(BLS12_381_G1.generator)

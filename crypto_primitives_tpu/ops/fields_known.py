@@ -39,3 +39,9 @@ ED_ON_BLS12_377_FR = FieldSpec(
 )
 
 ALL_FIELDS = [BLS12_381_FR, JUBJUB_FR, BLS12_377_FR, ED_ON_BLS12_377_FR]
+
+# BLS12-381 base field (381 bits) — the SW G1 coordinate field
+BLS12_381_FQ = FieldSpec(
+    "bls12_381_fq",
+    0x1A0111EA397FE69A4B1BA7B6434BACD764774B84F38512BF6730D2A0F6B0F6241EABFFFEB153FFFFB9FEFFFFFFFFAAAB,
+)
