@@ -70,3 +70,53 @@ def test_sharded_msm_4_devices(rng):
     for p in pts:
         expect = JUBJUB.add_host(expect, p)
     assert list(JUBJUB.unpack_points(np.asarray(sharded))) == [expect, expect]
+
+
+def test_sharded_build_prove_all_matches_single_device(rng):
+    """Full sharded tree: root AND every auth path bit-equal to the
+    single-device DeviceMerkleTree (merkle_tree_sharded.py)."""
+    from crypto_primitives_tpu.models.merkle_tree.device import (
+        _sha_compress,
+        _sha_convert,
+        _sha_leaf_hash,
+        sha256_device_tree,
+    )
+    from crypto_primitives_tpu.parallel import sharded_merkle_build_prove_all
+
+    n = 64
+    leaves = jnp.asarray(
+        np.asarray(
+            [[rng.randrange(256) for _ in range(16)] for _ in range(n)],
+            dtype=np.uint8,
+        )
+    )
+    mesh = make_mesh(8)
+    root, leaf_sib, auth = sharded_merkle_build_prove_all(
+        _sha_leaf_hash, _sha_compress, leaves, mesh, leaf_convert=_sha_convert()
+    )
+    single = sha256_device_tree(leaves)
+    sib1, auth1 = single.proof_rows(jnp.arange(n))
+    assert np.asarray(root).tobytes() == single.root()
+    assert np.array_equal(np.asarray(leaf_sib), np.asarray(sib1))
+    assert np.array_equal(np.asarray(auth), np.asarray(auth1))
+
+
+def test_sharded_permute_batch_matches_unsharded(rng):
+    from crypto_primitives_tpu.models.sponge import (
+        get_default_poseidon_parameters,
+    )
+    from crypto_primitives_tpu.models.sponge.poseidon import permute
+    from crypto_primitives_tpu.ops.fields_known import BLS12_381_FR as FR
+    from crypto_primitives_tpu.parallel import sharded_permute_batch
+
+    cfg = get_default_poseidon_parameters(FR, 2, False)
+    packed = cfg.packed()
+    B = 16
+    states = [[rng.randrange(FR.p) for _ in range(cfg.t)] for _ in range(B)]
+    dev = jnp.asarray(FR.pack(states))
+    mesh = make_mesh(8)
+    out = sharded_permute_batch(
+        lambda s: permute(FR, packed, s), dev, mesh
+    )
+    exp = permute(FR, packed, dev)
+    assert np.array_equal(np.asarray(out), np.asarray(exp))
