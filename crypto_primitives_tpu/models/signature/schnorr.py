@@ -84,10 +84,10 @@ class Schnorr:
         )
 
     def _from_random_bytes(self, digest: bytes):
-        """arkworks `F::from_random_bytes`: LE integer of the digest bytes;
-        None if >= p (rejection)."""
-        v = int.from_bytes(digest, "little")
-        return v if v < self.curve.scalar.p else None
+        """arkworks `F::from_random_bytes`: LE integer masked to
+        MODULUS_BIT_SIZE bits, then None if >= p (FieldSpec.from_random_bytes
+        has the exact masking rule)."""
+        return self.curve.scalar.from_random_bytes(digest)
 
     def sign(self, params: SchnorrParameters, sk: int, message: bytes, rng) -> SchnorrSignature:
         r_order = self.curve.scalar.p

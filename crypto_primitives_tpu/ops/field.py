@@ -118,6 +118,19 @@ class FieldSpec:
         """arkworks `F::from_le_bytes_mod_order` semantics."""
         return int.from_bytes(b, "little") % self.p
 
+    def from_random_bytes(self, b: bytes):
+        """arkworks `F::from_random_bytes` (EmptyFlags path): copy the bytes
+        into the 64-bit-limb bigint buffer LE, mask the top limb down to
+        MODULUS_BIT_SIZE bits (`last_limb_mask = u64::MAX >>
+        (-MODULUS_BIT_SIZE mod 64)`), then reject if the masked integer is
+        >= p.  NOTE the masking happens BEFORE the range check — a 32-byte
+        digest with the top bit set is still accepted for a 255-bit modulus."""
+        limbs64 = -(-self.nbits // 64)
+        if len(b) > 8 * limbs64 + 1:
+            b = b[: 8 * limbs64 + 1]
+        v = int.from_bytes(b, "little") & ((1 << self.nbits) - 1)
+        return v if v < self.p else None
+
     def to_bytes_le(self, x: int) -> bytes:
         """arkworks `into_bigint().to_bytes_le()` — full limb width."""
         return int(x).to_bytes(self.bigint_bytes, "little")

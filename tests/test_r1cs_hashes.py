@@ -32,6 +32,8 @@ def test_sha256_gadget_vs_hashlib(rng, n):
     out = Sha256CRHGadget().evaluate(cs, inp)
     assert out.value == hashlib.sha256(data).digest()
     assert cs.is_satisfied()
+    if n == 65:  # two-block message: exercise the device checker at scale
+        assert check_satisfied_device(cs)
 
 
 def test_sha256_two_to_one_and_compress(rng):
