@@ -66,10 +66,13 @@ def _plan_consts(plan: rns.RNSPlan, config):
         r2 = [(v * int(tw)) % int(m) for m, tw in zip(plan.m2, plan.tau)]
         return np.asarray(r1 + r2, dtype=np.float32)
 
+    c2i = plan.c2.astype(np.int64)  # exact: c2 entries < 2^11
+
     # MDS in Montgomery form.  B1 rows additionally carry the sigma twist:
     # products mds*state then accumulate w1*sigma directly, so mont_reduce
-    # skips its s1 const-mul (s1_ready).  B2 rows tau-twisted as usual
-    # (products carry tau^2, matching mont_reduce's expectation).
+    # skips its s1 const-mul (s1_ready).  B2 rows carry tau*c2 (v6.4): the
+    # products arrive pre-multiplied by c2, so mont_reduce's omega stage
+    # skips its w2*c2 const-mul too (c2_ready).
     mds = np.zeros((t, t, 2 * K, 1), dtype=np.float32)
     for i in range(t):
         for j in range(t):
@@ -78,7 +81,10 @@ def _plan_consts(plan: rns.RNSPlan, config):
                 (v * int(sg)) % int(m)
                 for m, sg in zip(plan.m1, plan.c_sigma.astype(np.int64))
             ]
-            r2 = [(v * int(tw)) % int(m) for m, tw in zip(plan.m2, plan.tau)]
+            r2 = [
+                (v * int(tw) % int(m)) * int(cc) % int(m)
+                for m, tw, cc in zip(plan.m2, plan.tau, c2i)
+            ]
             mds[i, j, :, 0] = np.asarray(r1 + r2, dtype=np.float32)
     consts["mds"] = mds
     # ark rounds 1.. fold into the omega reduction of the MDS mont_reduce:
@@ -163,18 +169,24 @@ def _make_kernel(plan: rns.RNSPlan, config, ablate: str = ""):
             lam = jnp.floor((L0 + L1) + L2 + f32(delta))  # scales folded in W
             if "nored" in ablate:
                 return red(U0 + lam * negM, inv, m)
-            X = (U0 + f32(64.0) * U1) + lam * negM
+            X = (U0 + U1) + lam * negM  # U1's 64 scale folded in W (v6.4)
             return red(X, inv, m)
 
-        def mont_reduce(w, ark2=None, s1_ready=False):
+        def mont_reduce(w, ark2=None, s1_ready=False, c2_ready=False,
+                        w1_lazy=False):
             """w: (2K, B) lazy residues of an integer < p*M1 (B2 rows
             tau^2-twisted) -> residues of W*M1^{-1} mod p, value < 3p.
             ark2 (tau-twisted B2 rows of a constant a < p) folds into the
             omega red; the result then represents W*M1^{-1} + a < 4p.
             s1_ready: w[:K] already carries the sigma twist (pre-twisted
-            constants), skipping the s1 const-mul."""
+            constants), skipping the s1 const-mul.
+            c2_ready: w[K:] already carries the c2 twist (tau*c2-twisted
+            MDS constants), skipping the omega-stage const-mul.
+            w1_lazy: w is a pair-grouped accumulation < (2m-1)*m (odd-width
+            MDS rows): one Barrett red before the ext1 digit split; the
+            lazy B2 half is safe (bound asserted in rns.build_plan)."""
             if s1_ready or "nosig" in ablate:
-                s1 = w[:K]
+                s1 = red(w[:K], inv1, m1) if w1_lazy else w[:K]
             else:
                 s1 = red(w[:K] * c_sigma, inv1, m1)
             qh = ext(s1, e1w, negM1, inv2, m2, DELTA1)
@@ -182,6 +194,8 @@ def _make_kernel(plan: rns.RNSPlan, config, ablate: str = ""):
             # bound 2*(2m-1)*(m-1) + ark < 2^24, exact (see rns.mont_reduce_np)
             if "nosig" in ablate:
                 om_pre = w[K:] + qh * p2
+            elif c2_ready:
+                om_pre = w[K:] + qh * p2c2
             else:
                 om_pre = w[K:] * c2 + qh * p2c2
             if ark2 is not None:
@@ -203,24 +217,28 @@ def _make_kernel(plan: rns.RNSPlan, config, ablate: str = ""):
             return acc
 
         def mds_ark(stk, r):
-            """MDS row dot (lazy residue accumulation: pairs of products
-            sum exactly under 2^24 before one Barrett) -> ONE stacked full
-            Montgomery reduction (integer bound < 12p^2 < p*M1) with
-            ark[r+1] folded into its omega red.  MDS constants are
-            sigma-pre-twisted in B1 (s1_ready) and tau-twisted in B2."""
+            """MDS row dot (v6.4 pair-grouped lazy accumulation: a reduced
+            acc plus TWO products stays < 2^24, so one Barrett per product
+            pair; an odd trailing product is left lazy for mont_reduce's
+            w1_lazy path) -> ONE stacked full Montgomery reduction (integer
+            bound < 12p^2 < p*M1) with ark[r+1] folded into its omega red.
+            MDS constants are sigma-pre-twisted in B1 (s1_ready) and
+            tau*c2-twisted in B2 (c2_ready)."""
             B = stk.shape[1] // t
             ark_next = arkf_ref[r]  # (t*K, 1) tau-twisted B2 rows
             accs = []
+            w1_lazy = t % 2 == 1
             for i in range(t):
-                # acc after the first red is < 2m < 2^12, so every later
-                # (acc + product) sum stays < 2^23 + 2^12: exact in f32
-                acc = stk[:, :B] * mdsc[i, 0]
-                for j in range(1, t):
-                    acc = red(
-                        acc + stk[:, j * B : (j + 1) * B] * mdsc[i, j],
-                        inv_all,
-                        m_all,
-                    )
+                prods = [
+                    stk[:, j * B : (j + 1) * B] * mdsc[i, j] for j in range(t)
+                ]
+                acc = red(prods[0] + prods[1], inv_all, m_all)
+                j = 2
+                while j + 1 < t:
+                    acc = red(acc + prods[j] + prods[j + 1], inv_all, m_all)
+                    j += 2
+                if j < t:  # odd trailing product: stays lazy
+                    acc = acc + prods[j]
                 accs.append(acc)
             w = jnp.concatenate(accs, axis=1)  # (2K, t*B)
             arow = jnp.concatenate(
@@ -230,7 +248,9 @@ def _make_kernel(plan: rns.RNSPlan, config, ablate: str = ""):
                 ],
                 axis=1,
             )
-            return mont_reduce(w, ark2=arow, s1_ready=True)
+            return mont_reduce(
+                w, ark2=arow, s1_ready=True, c2_ready=True, w1_lazy=w1_lazy
+            )
 
         def round_fn(stk, r, full):
             if "nosbox" not in ablate:
@@ -338,6 +358,12 @@ def _build_rns_permute(
                 (t * 2 * K, block_b), lambda i: (0, i), memory_space=pltpu.VMEM
             ),
             out_shape=jax.ShapeDtypeStruct((t * 2 * K, Bp), jnp.float32),
+            # v5e has 128 MiB VMEM; the conservative 16 MiB scoped default
+            # rejects larger blocks (more temporaries since the v6.4
+            # pair-grouped MDS).  64 MiB leaves double-buffering headroom.
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=64 * 1024 * 1024
+            ),
             interpret=interpret,
         )(
             jnp.asarray(consts["ark0"]),

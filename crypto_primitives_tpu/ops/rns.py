@@ -105,8 +105,11 @@ def _ext_matrix(c_cols: np.ndarray, m_out: np.ndarray, lam_w: np.ndarray):
         f[j,i] = (4096 * c1[j,i]) mod m_j = f0 + 64*f1   (f < m < 2^11)
     and emit two MERGED output blocks
         U0[j] = sum_i d0*c0 + d1*f0          (weights < 64)
-        U1[j] = sum_i d0*c1 + d1*(c0 + f1)   (weights < 128, bf16-exact)
-    so that X = U0 + 64*U1 + lam*negM  ==  T (mod m_j) needs NO mid red:
+        U1[j] = sum_i d0*(64*c1) + d1*(64*(c0 + f1))
+    with the 64 recombine scale pre-folded into the U1 weight rows (an
+    integer < 2^7 times a power of two is bf16-exact), so that
+        X = U0 + U1 + lam*negM  ==  T (mod m_j)
+    needs NO mid red and no recombine scaling:
     X < 24*63*126 + 64*24*63*125 + 49*2047 < 12.5M < 2^24 (f32-exact).
 
     Output rows: [U0 (K); U1 (K); L0; L1; L2], lambda rows as before:
@@ -122,9 +125,9 @@ def _ext_matrix(c_cols: np.ndarray, m_out: np.ndarray, lam_w: np.ndarray):
     # U0 = d0 @ c0.T + d1 @ f0.T
     W[0:k_out, 0:k_in] = c0
     W[0:k_out, k_in : 2 * k_in] = f0
-    # U1 = d0 @ c1.T + d1 @ (c0 + f1).T
-    W[k_out : 2 * k_out, 0:k_in] = c1
-    W[k_out : 2 * k_out, k_in : 2 * k_in] = c0 + f1
+    # U1 = d0 @ (64*c1).T + d1 @ (64*(c0 + f1)).T  (scale folded in)
+    W[k_out : 2 * k_out, 0:k_in] = 64.0 * c1
+    W[k_out : 2 * k_out, k_in : 2 * k_in] = 64.0 * (c0 + f1)
     # lambda rows with the recombine scales folded in as power-of-two
     # factors (exact in bf16/f32: same mantissas, shifted exponents), so the
     # kernel computes lam_v = L0 + L1 + L2 with two adds and no scaling:
@@ -135,11 +138,13 @@ def _ext_matrix(c_cols: np.ndarray, m_out: np.ndarray, lam_w: np.ndarray):
     W[2 * k_out + 1, 0:k_in] = w1 * (64 * sc)
     W[2 * k_out + 1, k_in : 2 * k_in] = w0 * (64 * sc)
     W[2 * k_out + 2, k_in : 2 * k_in] = w1 * (4096 * sc)
-    # every entry must be bf16-exact: an integer < 2^8 (U rows) or such an
-    # integer times a power of two (lambda rows)
+    # every entry must be bf16-exact: an integer < 2^8 (U0 rows), or such
+    # an integer times a power of two (U1 / lambda rows)
     assert np.all(W >= 0)
-    ints = W[: 2 * k_out]
-    assert np.all(ints < 128) and np.all(ints == np.floor(ints))
+    u0 = W[:k_out]
+    assert np.all(u0 < 128) and np.all(u0 == np.floor(u0))
+    u1 = W[k_out : 2 * k_out] / 64.0
+    assert np.all(u1 < 128) and np.all(u1 == np.floor(u1))
     lam_ints = W[2 * k_out :] * 2.0**LAM_SHIFT
     assert np.all(lam_ints == np.floor(lam_ints))
     assert np.all((w0 < 64) & (w1 < 64))
@@ -196,9 +201,16 @@ def build_plan(p: int) -> RNSPlan:
     # exact recombine bound per output row: digits <= 63, lam <= 2K+1
     for Wm, nM in ((ext1_w, negM1), (ext2_w, negM2)):
         u0 = 63.0 * Wm[:K].sum(axis=1)
-        u1 = 63.0 * Wm[K : 2 * K].sum(axis=1)
-        xb = u0 + 64.0 * u1 + (2 * K + 1) * nM.max() + 2 * mmax
+        u1 = 63.0 * Wm[K : 2 * K].sum(axis=1)  # 64 scale already in weights
+        xb = u0 + u1 + (2 * K + 1) * nM.max() + 2 * mmax
         assert xb.max() < 1 << 24, f"recombine overflow: {xb.max()}"
+    # c2_ready/lazy-MDS bound (poseidon_rns_pallas.mds_ark): a pair-grouped
+    # accumulation leaves w lazy <= (2m-1)*m; the omega stage then adds
+    # qh*p2c2 and a folded ark without any const-mul on w2
+    w_lazy = (2 * mmax - 1) * mmax
+    assert w_lazy + (2 * mmax - 1) * (mmax - 1) + (mmax - 1) < 1 << 24
+    # and each pair-grouped accumulation step stays f32-exact
+    assert (2 * mmax - 1) + 2 * (2 * mmax - 1) * (mmax - 1) < 1 << 24
     mont_one_int = M1 % p
     plan = RNSPlan(
         p=p,
@@ -281,13 +293,14 @@ def _ext(plan: RNSPlan, s, W, negM, inv_out, m_out, delta, extra=None):
     U0, U1 = out[..., :K], out[..., K : 2 * K]
     L0, L1, L2 = out[..., 2 * K], out[..., 2 * K + 1], out[..., 2 * K + 2]
     lam = np.floor(F(F(L0 + L1) + L2) + F(delta))[..., None]  # scales in W
-    X = F(F(U0 + F(64.0) * U1) + F(lam) * F(negM))
+    X = F(F(U0 + U1) + F(lam) * F(negM))  # U1's 64 scale folded in W
     if extra is not None:
         X = F(X + F(extra))
     return red(X, inv_out, m_out)
 
 
-def mont_reduce_np(plan: RNSPlan, w, ark2=None, s1_ready=False):
+def mont_reduce_np(plan: RNSPlan, w, ark2=None, s1_ready=False,
+                   c2_ready=False, w1_lazy=False):
     """Montgomery-reduce a residue pair (w1, w2 tau^2-twisted) representing
     an integer W < p*M1: returns residues of W*M1^{-1} mod p (value < 3p).
 
@@ -295,16 +308,25 @@ def mont_reduce_np(plan: RNSPlan, w, ark2=None, s1_ready=False):
     the omega reduction — the result then represents W*M1^{-1} + a (< 4p)
     in BOTH bases (ext2 re-extends the ark-included omega).
     s1_ready: w1 already carries the sigma twist (MDS constants are stored
-    pre-multiplied by sigma in base 1), skipping the s1 const-mul."""
+    pre-multiplied by sigma in base 1), skipping the s1 const-mul.
+    c2_ready: w2 already carries the c2 twist (MDS B2 constants stored
+    pre-multiplied by tau*c2), skipping the omega-stage const-mul.
+    w1_lazy: w1 is a pair-grouped lazy accumulation < (2m-1)*m (odd-width
+    MDS rows), needing one Barrett red before the ext1 digit split."""
     w1, w2 = w
     if s1_ready:
-        s1 = F(w1)
+        s1 = red(F(w1), plan.inv_m1, F(plan.m1)) if w1_lazy else F(w1)
     else:
         s1 = red(F(w1) * plan.c_sigma, plan.inv_m1, F(plan.m1))
     qh = _ext(plan, s1, plan.ext1_w, plan.negM1, plan.inv_m2, F(plan.m2), DELTA1)
     # merged t0/omega: omega = (w2 + qh*p2)*c2 = w2*c2 + qh*(p2*c2 mod m);
-    # bound 2*(2m-1)*(m-1) + (2m-1) = 16.62M < 2^24, exact
-    om_pre = F(F(F(w2) * plan.c2) + qh * plan.p2c2)
+    # bound 2*(2m-1)*(m-1) + (2m-1) = 16.62M < 2^24, exact.  With c2_ready,
+    # w2 is lazy < (2m-1)*m and the bound is (2m-1)*m + (2m-1)*(m-1) + m
+    # = 16.62M < 2^24 (asserted in build_plan).
+    if c2_ready:
+        om_pre = F(F(w2) + qh * plan.p2c2)
+    else:
+        om_pre = F(F(F(w2) * plan.c2) + qh * plan.p2c2)
     if ark2 is not None:
         om_pre = F(om_pre + F(ark2))
     omega = red(om_pre, plan.inv_m2, F(plan.m2))
