@@ -32,27 +32,40 @@ from crypto_primitives_tpu.models.merkle_tree import Path, tree_height
 _BUILD_CACHE: dict = {}
 
 
-def _build_levels(leaf_hash_batch, compress_batch, leaf_convert):
+def _build_levels(leaf_hash_batch, compress_batch, leaf_convert,
+                  compress_level_batch=None):
     """One jitted whole-tree build per (hash-fn triple); jax.jit handles
-    per-shape specialization underneath."""
-    key = (id(leaf_hash_batch), id(compress_batch), id(leaf_convert))
+    per-shape specialization underneath.
+
+    compress_level_batch, when given, compresses a whole level (B, D) ->
+    (B//2, D) from the CONTIGUOUS pair layout (children of node i are
+    adjacent rows 2i, 2i+1, so `reshape(B//2, 2, D)` is free) — the
+    strided `[0::2]`/`[1::2]` interleave gathers otherwise cost ~40% of
+    level time on TPU (PERFORMANCE.md)."""
+    key = (
+        id(leaf_hash_batch), id(compress_batch), id(leaf_convert),
+        id(compress_level_batch),
+    )
     fn = _BUILD_CACHE.get(key)
     if fn is None:
+        level = compress_level_batch or (
+            lambda cur: compress_batch(cur[0::2], cur[1::2])
+        )
 
         @jax.jit
         def fn(leaves):
             leaf_digests = leaf_hash_batch(leaves)
-            conv = leaf_convert(leaf_digests)
-            cur = compress_batch(conv[0::2], conv[1::2])
+            cur = level(leaf_convert(leaf_digests))
             levels = [cur]
             while cur.shape[0] > 1:
-                cur = compress_batch(cur[0::2], cur[1::2])
+                cur = level(cur)
                 levels.append(cur)
             levels.reverse()
             return leaf_digests, tuple(levels)
 
         # keep the hash closures alive so ids stay unique while cached
-        fn._refs = (leaf_hash_batch, compress_batch, leaf_convert)
+        fn._refs = (leaf_hash_batch, compress_batch, leaf_convert,
+                    compress_level_batch)
         _BUILD_CACHE[key] = fn
     return fn
 
@@ -88,13 +101,15 @@ class DeviceMerkleTree:
         leaves: jnp.ndarray,
         to_host: Callable,
         leaf_convert: Callable = lambda x: x,
+        compress_level_batch: Callable = None,
     ) -> "DeviceMerkleTree":
         n = int(leaves.shape[0])
         assert n > 1 and (n & (n - 1)) == 0
         # the whole level scan compiles to ONE device program (level count
         # is static); jit caches per (fns, shape) via _build_levels
         leaf_digests, levels = _build_levels(
-            leaf_hash_batch, compress_batch, leaf_convert
+            leaf_hash_batch, compress_batch, leaf_convert,
+            compress_level_batch,
         )(leaves)
         return cls(compress_batch, leaf_digests, list(levels), to_host, leaf_convert)
 
@@ -218,6 +233,14 @@ def _sha_compress(l, r):
     return sha256(jnp.concatenate([l, r], axis=-1))
 
 
+def _sha_compress_level(cur):
+    """Whole-level compress from the contiguous pair layout: the l||r
+    concatenation is just a reshape of adjacent digest rows."""
+    from crypto_primitives_tpu.ops.sha256 import sha256
+
+    return sha256(cur.reshape(cur.shape[0] // 2, 2 * cur.shape[1]))
+
+
 @functools.cache
 def _sha_convert():
     from crypto_primitives_tpu.models.merkle_tree import ByteDigestConverter
@@ -234,6 +257,7 @@ def sha256_device_tree(leaves: jnp.ndarray) -> DeviceMerkleTree:
         leaves,
         to_host=lambda row: row.tobytes(),
         leaf_convert=_sha_convert(),
+        compress_level_batch=_sha_compress_level,
     )
 
 
@@ -267,6 +291,20 @@ def _rns_compress_fns(spec, config):
         return out[:, 1, :]
 
     @jax.jit
+    def compress_level(cur):
+        # whole-level compress: adjacent digest rows (2i, 2i+1) become rate
+        # slots 1..2 via a free contiguous reshape (no interleave gather)
+        B2 = cur.shape[0] // 2
+        pairs = cur.reshape(B2, 2, 2 * K)
+        state = jnp.concatenate(
+            [jnp.zeros((B2, 1, 2 * K), jnp.float32), pairs]
+            + [jnp.zeros((B2, t - 3, 2 * K), jnp.float32)] * (t > 3),
+            axis=1,
+        )
+        out = permute_rns(plan, config, state, block_b=blk(B2), interpret=interp)
+        return out[:, 1, :]
+
+    @jax.jit
     def leaf_hash(x):
         # CRH of a single field element: absorb [x], permute, squeeze
         B = x.shape[0]
@@ -275,7 +313,7 @@ def _rns_compress_fns(spec, config):
         out = permute_rns(plan, config, state, block_b=blk(B), interpret=interp)
         return out[:, 1, :]
 
-    return plan, leaf_hash, compress
+    return plan, leaf_hash, compress, compress_level
 
 
 def poseidon_rns_device_tree(spec, config, leaf_elements) -> DeviceMerkleTree:
@@ -285,7 +323,7 @@ def poseidon_rns_device_tree(spec, config, leaf_elements) -> DeviceMerkleTree:
     convert to canonical ints matching the generic Poseidon MerkleTree."""
     from crypto_primitives_tpu.ops import rns
 
-    plan, leaf_hash, compress = _rns_compress_fns(spec, config)
+    plan, leaf_hash, compress, compress_level = _rns_compress_fns(spec, config)
     K = rns.K
 
     if not isinstance(leaf_elements, (jnp.ndarray, np.ndarray)):
@@ -301,4 +339,7 @@ def poseidon_rns_device_tree(spec, config, leaf_elements) -> DeviceMerkleTree:
         v = int(rns.from_rns(plan, np.asarray(row)[:K]))
         return v * inv_M1 % spec.p
 
-    return DeviceMerkleTree.build(leaf_hash, compress, leaf_elements, to_host)
+    return DeviceMerkleTree.build(
+        leaf_hash, compress, leaf_elements, to_host,
+        compress_level_batch=compress_level,
+    )

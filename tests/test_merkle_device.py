@@ -128,7 +128,7 @@ def test_poseidon_rns_device_batch_verify_and_update(rng):
     from crypto_primitives_tpu.models.merkle_tree.device import _rns_compress_fns
     from crypto_primitives_tpu.ops import rns
 
-    plan, leaf_hash, _ = _rns_compress_fns(FR, pcfg)
+    plan, leaf_hash, _, _ = _rns_compress_fns(FR, pcfg)
     mont = np.asarray([vals[int(i)] * plan.M1 % FR.p for i in idx], dtype=object)
     r1, r2 = rns.to_rns(plan, mont)
     leaf_dig = leaf_hash(jnp.asarray(np.concatenate([r1, r2], axis=-1)))
