@@ -95,6 +95,25 @@ def main(num_leaves: int):
     )
     emit("merkle_sha256_verify_all_2e20", n / t_verify, "verifies/s")
 
+    # ---- multipath (deduplicated) verify ----
+    # small subset: latency-bound (height x hash-latency floor);
+    # large subset: where shared-node dedup beats per-path verification
+    for m in (4096, min(1 << 17, n)):
+        idx_sub = list(range(0, n, n // m))[:m]
+        sub = jnp.asarray(idx_sub, jnp.int32)
+        sub_sib, sub_auth = tree.proof_rows(sub)
+        sub_dig = jnp.take(tree.leaf_digests, sub, axis=0)
+
+        def multi_verify():
+            ok = tree.multipath_verify_rows(
+                root_row, sub_dig, idx_sub, sub_sib, sub_auth
+            )
+            return np.asarray(ok)
+
+        assert multi_verify()
+        t_mv = timed(multi_verify)
+        emit(f"merkle_sha256_multipath_verify_{m}_of_2e20", m / t_mv, "leaves/s")
+
     # ---- Poseidon RNS tree create ----
     from crypto_primitives_tpu.models.sponge import get_default_poseidon_parameters
     from crypto_primitives_tpu.ops import rns

@@ -32,6 +32,45 @@ from crypto_primitives_tpu.models.merkle_tree import Path, tree_height
 _BUILD_CACHE: dict = {}
 
 
+@functools.lru_cache(maxsize=256)
+def _multipath_schedule(idx: tuple, n_levels: int):
+    """Host-side gather plan for the deduplicated MultiPath verify: per
+    level, (prev-buffer width, left sources, right sources) where sources
+    < k_prev point at computed digests (LUT-first precedence) and sources
+    >= k_prev at proof-supplied rows (offset by the proving leaf's row).
+    Cached per (index set, height) — the index math runs once, the hash
+    work is all device-side."""
+    m = len(idx)
+    assert len(set(idx)) == m, "indexes must be distinct"
+    schedule = []
+    known = {p: s for s, p in enumerate(idx)}
+    reps = list(range(m))
+    for _ in range(n_levels + 1):
+        parents = sorted({p >> 1 for p in known})
+        lsrc, rsrc, new_reps = [], [], []
+        for p in parents:
+            srcs = []
+            for c in (2 * p, 2 * p + 1):
+                if c in known:
+                    srcs.append(known[c])  # computed: cur buffer
+                else:
+                    # sibling supplied by the proof of the known child
+                    srcs.append(len(known) + reps[known[c ^ 1]])
+            lsrc.append(srcs[0])
+            rsrc.append(srcs[1])
+            child = 2 * p if 2 * p in known else 2 * p + 1
+            new_reps.append(reps[known[child]])
+        # ONE [lefts… | rights…] gather per level, split by contiguous
+        # halves (TPU gathers cost ~0.8 ms each at this width, and strided
+        # interleave slices relayout — both matter in the latency-bound
+        # small-subset regime)
+        schedule.append((len(known), jnp.asarray(lsrc + rsrc, jnp.int32)))
+        known = {p: s for s, p in enumerate(parents)}
+        reps = new_reps
+    assert list(known) == [0], "paths did not converge to the root"
+    return tuple(schedule)
+
+
 def _build_levels(leaf_hash_batch, compress_batch, leaf_convert,
                   compress_level_batch=None):
     """One jitted whole-tree build per (hash-fn triple); jax.jit handles
@@ -193,6 +232,44 @@ class DeviceMerkleTree:
             )
             node = node >> 1
         return jnp.all(curr == root_row[None, :], axis=-1)
+
+    def multipath_verify_rows(
+        self,
+        root_row: jnp.ndarray,
+        leaf_digests: jnp.ndarray,
+        indexes: Sequence[int],
+        leaf_sib: jnp.ndarray,
+        auth: jnp.ndarray,
+    ) -> jnp.ndarray:
+        """Deduplicated batch verification — the device twin of MultiPath's
+        memoized-LUT verify (reference mod.rs:272-330): every shared
+        internal node is hashed ONCE, and computed digests take precedence
+        over proof-supplied siblings (the reference's LUT-first lookup).
+
+        indexes must be distinct HOST ints: the per-level gather schedule is
+        planned on host and baked into the compiled program (static shapes,
+        one compile per index pattern — the TPU-idiomatic split: index math
+        on host, hash work on device).  leaf_sib (m, D) and auth
+        (m, height-2, D) root-first as returned by proof_rows; total
+        compress count equals the LUT algorithm's distinct-node count.
+        Returns a scalar bool."""
+        n_levels = int(auth.shape[1])
+        schedule = _multipath_schedule(tuple(int(i) for i in indexes), n_levels)
+
+        # ---- device execution ----
+        cur = self.leaf_convert(leaf_digests)
+        sib0 = self.leaf_convert(leaf_sib)
+        for li, (k_prev, src) in enumerate(schedule):
+            # auth rows for this level: leaf siblings at the bottom, then
+            # auth columns bottom-up (root-first storage)
+            rows = sib0 if li == 0 else auth[:, n_levels - li]
+            buf = jnp.concatenate([cur[:k_prev], rows], axis=0)
+            # the barrier stops XLA from fusing (and thus duplicating) the
+            # gather into both half-slice consumers
+            both = jax.lax.optimization_barrier(jnp.take(buf, src, axis=0))
+            k = src.shape[0] // 2
+            cur = self.compress_batch(both[:k], both[k:])
+        return jnp.all(cur[0] == root_row)
 
     # -- updates ----------------------------------------------------------
 
