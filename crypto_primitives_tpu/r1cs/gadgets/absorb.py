@@ -51,11 +51,19 @@ def absorb_gadget(cs: ConstraintSystem, value) -> List[FpVar]:
         return [value.fp]
     if isinstance(value, UInt8):
         return [value.to_fp()]
-    # point vars: [x, y]
-    from crypto_primitives_tpu.r1cs.gadgets.curve import TEAffineVar
+    # point vars: TE [x, y]; SW [x, y, infinity] (constraints/absorb.rs:98-166)
+    from crypto_primitives_tpu.r1cs.gadgets.curve import (
+        SWAffineVar,
+        SWProjectiveVar,
+        TEAffineVar,
+    )
 
     if isinstance(value, TEAffineVar):
         return [value.x, value.y]
+    if isinstance(value, SWAffineVar):
+        return [value.x, value.y, value.infinity.fp]
+    if isinstance(value, SWProjectiveVar):
+        return absorb_gadget(cs, value.to_affine())
     if isinstance(value, (list, tuple)):
         if len(value) > 0 and isinstance(value[0], UInt8):
             return absorb_gadget_u8_batch(cs, value)

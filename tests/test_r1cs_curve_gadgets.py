@@ -160,3 +160,80 @@ def test_elgamal_enc_gadget(rng):
     )
     assert out.value == native
     assert cs.is_satisfied()
+
+
+# ---------------- short-Weierstrass gadget vars (round 2) ----------------
+
+from crypto_primitives_tpu.models.sponge.absorb import (
+    SWPointAbsorb,
+    to_sponge_field_elements,
+)
+from crypto_primitives_tpu.ops.curves_known import BLS12_381_G1 as G1
+from crypto_primitives_tpu.ops.fields_known import BLS12_381_FQ as FQ
+from crypto_primitives_tpu.r1cs.gadgets.absorb import absorb_gadget
+from crypto_primitives_tpu.r1cs.gadgets.curve import SWProjectiveVar
+
+
+def test_sw_projective_var_ops(rng):
+    """Complete-RCB in-circuit ops vs the host oracle, incl. the identity
+    and doubling cases the complete law must cover."""
+    cs = ConstraintSystem(FQ)
+    p1 = G1.rand_point(rng)
+    p2 = G1.rand_point(rng)
+    v1 = SWProjectiveVar.new_witness(cs, G1, p1)
+    v2 = SWProjectiveVar.new_witness(cs, G1, p2)
+    assert v1.add(v2).value == G1.add_host(p1, p2)
+    assert v1.double().value == G1.double_host(p1)
+    assert v1.add(v1.negate()).value is None
+    ident = SWProjectiveVar.identity(cs, G1)
+    assert ident.add(v1).value == p1
+    assert v1.add(ident).value == p1
+    k = rng.randrange(1 << 16)
+    bits = [Boolean.new_witness(cs, bool((k >> i) & 1)) for i in range(16)]
+    assert v1.scalar_mul_le(bits).value == G1.scalar_mul_host(p1, k)
+    assert cs.is_satisfied()
+
+
+def test_sw_affine_var_to_affine(rng):
+    cs = ConstraintSystem(FQ)
+    p1 = G1.rand_point(rng)
+    aff = SWProjectiveVar.new_witness(cs, G1, p1).to_affine()
+    assert (aff.x.value, aff.y.value) == p1
+    assert aff.infinity.value is False
+    # infinity representative is (0, 1) + flag (r1cs-std to_affine semantics)
+    inf = SWProjectiveVar.new_witness(cs, G1, None).to_affine()
+    assert inf.infinity.value is True
+    assert (inf.x.value, inf.y.value) == (0, 1)
+    assert cs.is_satisfied()
+
+
+def test_sw_absorb_gadget_vs_native(rng):
+    """Twin of the reference's sw_curve_consistency_check
+    (sponge/constraints/absorb.rs:270-311): gadget sponge encoding of a
+    random SW point equals the native Absorb encoding."""
+    cs = ConstraintSystem(FQ)
+    p1 = G1.rand_point(rng)
+    native = to_sponge_field_elements(SWPointAbsorb(p1[0], p1[1]), FQ)
+    var = SWProjectiveVar.new_witness(cs, G1, p1)
+    gadget = absorb_gadget(cs, var.to_affine())
+    assert [g.value for g in gadget] == native
+    # projective var absorbs via to_affine (absorb.rs:142-166)
+    gadget_proj = absorb_gadget(cs, var)
+    assert [g.value for g in gadget_proj] == native
+    assert cs.is_satisfied()
+
+
+def test_pedersen_crh_gadget_sw_curve(rng):
+    """The reference Pedersen gadget is generic over CurveVar incl. SW
+    projective vars (crh/pedersen/constraints.rs:23-46); check the SW
+    instantiation against the (curve-generic) native CRH."""
+    win = Window(window_size=4, num_windows=8)
+    crh = PedersenCRH(G1, win)
+    params = crh.setup(rng)
+    msg = bytes(rng.randrange(256) for _ in range(4))
+    native = crh.evaluate(params, msg)
+    cs = ConstraintSystem(FQ)
+    gadget = PedersenCRHGadget(G1, win)
+    out = gadget.evaluate(cs, params, bytes_to_uint8s(cs, msg))
+    assert out.value == native
+    assert cs.is_satisfied()
