@@ -36,8 +36,29 @@ from crypto_primitives_tpu.ops.rns import DELTA1, DELTA2, DIGIT, K, LAM_SHIFT
 DEFAULT_BLOCK = 1024
 
 
-def _plan_consts(plan: rns.RNSPlan, config):
-    """Precompute all kernel constant arrays for (field plan, poseidon cfg)."""
+def _mont_twisted_rows(plan: rns.RNSPlan, v: int, p: int) -> np.ndarray:
+    """Montgomery-form constant as kernel MDS rows: B1 sigma-pre-twisted,
+    B2 tau*c2-pre-twisted (the s1_ready/c2_ready storage format)."""
+    vm = int(v) % p * plan.M1 % p
+    c2i = plan.c2.astype(np.int64)
+    r1 = [
+        (vm * int(sg)) % int(m)
+        for m, sg in zip(plan.m1, plan.c_sigma.astype(np.int64))
+    ]
+    r2 = [
+        (vm * int(tw) % int(m)) * int(cc) % int(m)
+        for m, tw, cc in zip(plan.m2, plan.tau, c2i)
+    ]
+    return np.asarray(r1 + r2, dtype=np.float32)
+
+
+def _plan_consts(plan: rns.RNSPlan, config, sched=None):
+    """Precompute all kernel constant arrays for (field plan, poseidon cfg).
+
+    With `sched` (a poseidon_sparse.SparseSchedule), additionally emits the
+    sparse-partial-round tables: sp_tab[r] = [m00, v_hat.., w..] rows for
+    sparse partial round r, mds_pre for full round rf2-1, dense_tab for the
+    dense partial rounds, and folds-based ark tables."""
     t = config.t
     p = plan.p
     col = lambda a: np.asarray(a, dtype=np.float32).reshape(-1, 1)
@@ -66,35 +87,33 @@ def _plan_consts(plan: rns.RNSPlan, config):
         r2 = [(v * int(tw)) % int(m) for m, tw in zip(plan.m2, plan.tau)]
         return np.asarray(r1 + r2, dtype=np.float32)
 
-    c2i = plan.c2.astype(np.int64)  # exact: c2 entries < 2^11
-
     # MDS in Montgomery form.  B1 rows additionally carry the sigma twist:
     # products mds*state then accumulate w1*sigma directly, so mont_reduce
     # skips its s1 const-mul (s1_ready).  B2 rows carry tau*c2 (v6.4): the
     # products arrive pre-multiplied by c2, so mont_reduce's omega stage
     # skips its w2*c2 const-mul too (c2_ready).
-    mds = np.zeros((t, t, 2 * K, 1), dtype=np.float32)
-    for i in range(t):
-        for j in range(t):
-            v = int(config.mds[i][j]) * plan.M1 % p
-            r1 = [
-                (v * int(sg)) % int(m)
-                for m, sg in zip(plan.m1, plan.c_sigma.astype(np.int64))
-            ]
-            r2 = [
-                (v * int(tw) % int(m)) * int(cc) % int(m)
-                for m, tw, cc in zip(plan.m2, plan.tau, c2i)
-            ]
-            mds[i, j, :, 0] = np.asarray(r1 + r2, dtype=np.float32)
-    consts["mds"] = mds
+    def mat_rows(mat) -> np.ndarray:
+        out = np.zeros((t, t, 2 * K, 1), dtype=np.float32)
+        for i in range(t):
+            for j in range(t):
+                out[i, j, :, 0] = _mont_twisted_rows(plan, int(mat[i][j]), p)
+        return out
+
+    consts["mds"] = mat_rows(config.mds)
     # ark rounds 1.. fold into the omega reduction of the MDS mont_reduce:
     # only tau-twisted B2 residues are needed (ext2 re-extends to B1).
-    # Row r holds ark[r+1]; last row zero.  ark0 applied at entry (2K rows).
+    # Row r holds the round-r fold vector (naive: ark[r+1]; sparse
+    # schedule: sched.folds[r]); last row zero.  ark0 applied at entry.
     R_T = config.full_rounds + config.partial_rounds
+    fold_vecs = (
+        sched.folds
+        if sched is not None
+        else [list(config.ark[r + 1]) for r in range(R_T - 1)] + [[0] * t]
+    )
     arkf = np.zeros((R_T, t * K, 1), dtype=np.float32)
-    for r in range(R_T - 1):
+    for r in range(R_T):
         for i in range(t):
-            a = int(config.ark[r + 1][i]) * plan.M1 % p
+            a = int(fold_vecs[r][i]) % p * plan.M1 % p
             arkf[r, i * K : (i + 1) * K, 0] = [
                 (a * int(tw)) % int(m) for m, tw in zip(plan.m2, plan.tau)
             ]
@@ -105,22 +124,50 @@ def _plan_consts(plan: rns.RNSPlan, config):
         )
     consts["arkf"] = arkf
     consts["ark0"] = ark0
+    if sched is not None:
+        R_P = config.partial_rounds
+        # sp_tab[r] = [m00; v_hat_1..v_hat_{t-1}; w_1..w_{t-1}] twisted
+        # Montgomery rows; zero at dense slots (never read there)
+        sp_tab = np.zeros((R_P, 2 * t - 1, 2 * K, 1), dtype=np.float32)
+        for r in range(R_P):
+            if not sched.is_sparse[r]:
+                continue
+            sp_tab[r, 0, :, 0] = _mont_twisted_rows(plan, sched.sp_m00[r], p)
+            for j in range(t - 1):
+                sp_tab[r, 1 + j, :, 0] = _mont_twisted_rows(plan, sched.sp_v[r][j], p)
+                sp_tab[r, t + j, :, 0] = _mont_twisted_rows(plan, sched.sp_w[r][j], p)
+        consts["sp_tab"] = sp_tab
+        consts["mds_pre"] = mat_rows(sched.pre_full)
+        dense_slots = sorted(sched.dense_mats)
+        consts["dense_slot_of"] = {i: n for n, i in enumerate(dense_slots)}
+        consts["dense_tab"] = (
+            np.stack([mat_rows(sched.dense_mats[i]) for i in dense_slots])
+            if dense_slots
+            else np.zeros((1, t, t, 2 * K, 1), dtype=np.float32)
+        )
     return consts
 
 
-def _make_kernel(plan: rns.RNSPlan, config, ablate: str = ""):
+def _make_kernel(plan: rns.RNSPlan, config, ablate: str = "", sched=None):
     # ablate: dev-only timing knob (tools/ablate_rns.py) — "nomxu" stubs the
     # extension matmuls, "nored" the recombine reductions, "nosbox"/"nomds"
     # whole stages.  Produces WRONG results; never set in production paths.
+    # sched: optional poseidon_sparse.SparseSchedule (v6.5) — partial rounds
+    # run sparse-factorized MDS layers (2t-1 products, identity part folded
+    # as a value addend into the Montgomery reduction).
     t = config.t
     alpha = config.alpha
     rf2 = config.full_rounds // 2
     R_P = config.partial_rounds
     R_T = config.full_rounds + R_P
-    consts = _plan_consts(plan, config)
+    consts = _plan_consts(plan, config, sched)
     f32 = jnp.float32
 
-    def kernel(ark0_ref, arkf_ref, mds_ref, e1w_ref, e2w_ref, vec_ref, state_ref, out_ref):
+    def kernel(ark0_ref, arkf_ref, mds_ref, e1w_ref, e2w_ref, vec_ref, *rest_refs):
+        if sched is not None:
+            sp_tab_ref, mds_pre_ref, dense_tab_ref, state_ref, out_ref = rest_refs
+        else:
+            state_ref, out_ref = rest_refs
         # v6: the t state elements ride the LANE axis stacked side by side —
         # one (2K, t*B) array instead of a t-tuple of (2K, B).  Every
         # mont_reduce (sbox chains in full rounds, the whole MDS output) then
@@ -137,7 +184,6 @@ def _make_kernel(plan: rns.RNSPlan, config, ablate: str = ""):
         p2c2 = v[11, :K]
         e1w = e1w_ref[...]
         e2w = e2w_ref[...]
-        mdsc = mds_ref[...]
 
         def red(w, inv, m):
             q = jnp.floor(w * inv)
@@ -216,14 +262,14 @@ def _make_kernel(plan: rns.RNSPlan, config, ablate: str = ""):
                     acc = mont_mul(acc, x)
             return acc
 
-        def mds_ark(stk, r):
+        def mds_ark(stk, r, mdsc):
             """MDS row dot (v6.4 pair-grouped lazy accumulation: a reduced
             acc plus TWO products stays < 2^24, so one Barrett per product
             pair; an odd trailing product is left lazy for mont_reduce's
             w1_lazy path) -> ONE stacked full Montgomery reduction (integer
-            bound < 12p^2 < p*M1) with ark[r+1] folded into its omega red.
-            MDS constants are sigma-pre-twisted in B1 (s1_ready) and
-            tau*c2-twisted in B2 (c2_ready)."""
+            bound < 12p^2 < p*M1) with the round-r fold vector folded into
+            its omega red.  MDS constants are sigma-pre-twisted in B1
+            (s1_ready) and tau*c2-twisted in B2 (c2_ready)."""
             B = stk.shape[1] // t
             ark_next = arkf_ref[r]  # (t*K, 1) tau-twisted B2 rows
             accs = []
@@ -252,7 +298,44 @@ def _make_kernel(plan: rns.RNSPlan, config, ablate: str = ""):
                 w, ark2=arow, s1_ready=True, c2_ready=True, w1_lazy=w1_lazy
             )
 
-        def round_fn(stk, r, full):
+        def sparse_mds_ark(stk, r):
+            """v6.5 sparse partial round (sched.is_sparse[r-rf2]):
+            row 0 = m00*z + <v_hat, rest> (pair-grouped lazy as the dense
+            path), rows 1.. = w_j*z raw lazy products; the identity
+            contribution (rest itself) folds into the omega stage of the
+            SAME stacked mont_reduce as a value ADDEND (rest's tau-twisted
+            B2 rows ride the ark2 slot — ext2 re-extends the sum to both
+            bases).  5 products instead of 9 at t=3; bounds asserted in
+            rns.build_plan (variable-addend budget)."""
+            B = stk.shape[1] // t
+            z = stk[:, :B]  # already sboxed by round_fn
+            rest = stk[:, B:]
+            sp = sp_tab_ref[r - rf2]  # (2t-1, 2K, 1)
+            prods = [z * sp[0]] + [
+                rest[:, j * B : (j + 1) * B] * sp[1 + j] for j in range(t - 1)
+            ]
+            acc = red(prods[0] + prods[1], inv_all, m_all)
+            j = 2
+            while j + 1 < t:
+                acc = red(acc + prods[j] + prods[j + 1], inv_all, m_all)
+                j += 2
+            if j < t:
+                acc = acc + prods[j]
+            rows = [z * sp[t + j] for j in range(t - 1)]  # raw lazy
+            w = jnp.concatenate([acc] + rows, axis=1)  # (2K, t*B)
+            ark_next = arkf_ref[r]
+            arow0 = jnp.broadcast_to(ark_next[0:K], (K, B))
+            arows = [
+                jnp.broadcast_to(ark_next[(1 + j) * K : (2 + j) * K], (K, B))
+                + rest[K:, j * B : (j + 1) * B]
+                for j in range(t - 1)
+            ]
+            addend = jnp.concatenate([arow0] + arows, axis=1)
+            return mont_reduce(
+                w, ark2=addend, s1_ready=True, c2_ready=True, w1_lazy=True
+            )
+
+        def round_fn(stk, r, full, mdsc=None, sparse=False):
             if "nosbox" not in ablate:
                 if full:
                     stk = sbox(stk)
@@ -263,7 +346,9 @@ def _make_kernel(plan: rns.RNSPlan, config, ablate: str = ""):
                     )
             if "nomds" in ablate:
                 return red(stk + f32(1.0), inv_all, m_all)
-            return mds_ark(stk, r)
+            if sparse:
+                return sparse_mds_ark(stk, r)
+            return mds_ark(stk, r, mdsc if mdsc is not None else mds_ref[...])
 
         st = state_ref[...]
         stk = jnp.concatenate(
@@ -279,12 +364,41 @@ def _make_kernel(plan: rns.RNSPlan, config, ablate: str = ""):
             axis=1,
         )
         stk = red(stk + ark0_stk, inv_all, m_all)
-        stk = jax.lax.fori_loop(0, rf2, lambda r, s: round_fn(s, r, True), stk)
+        if sched is None:
+            mdsc = mds_ref[...]
+            stk = jax.lax.fori_loop(
+                0, rf2, lambda r, s: round_fn(s, r, True, mdsc), stk
+            )
+            stk = jax.lax.fori_loop(
+                rf2, rf2 + R_P, lambda r, s: round_fn(s, r, False, mdsc), stk
+            )
+        else:
+            mdsc = mds_ref[...]
+            stk = jax.lax.fori_loop(
+                0, rf2 - 1, lambda r, s: round_fn(s, r, True, mdsc), stk
+            )
+            # last full round before the segment: merged pre matrix
+            stk = round_fn(stk, rf2 - 1, True, mds_pre_ref[...])
+            # partial segment: python-level run structure (static)
+            i = 0
+            while i < R_P:
+                if sched.is_sparse[i]:
+                    L = 0
+                    while i + L < R_P and sched.is_sparse[i + L]:
+                        L += 1
+                    stk = jax.lax.fori_loop(
+                        rf2 + i,
+                        rf2 + i + L,
+                        lambda r, s: round_fn(s, r, False, sparse=True),
+                        stk,
+                    )
+                    i += L
+                else:
+                    slot = consts["dense_slot_of"][i]
+                    stk = round_fn(stk, rf2 + i, False, dense_tab_ref[slot])
+                    i += 1
         stk = jax.lax.fori_loop(
-            rf2, rf2 + R_P, lambda r, s: round_fn(s, r, False), stk
-        )
-        stk = jax.lax.fori_loop(
-            rf2 + R_P, R_T, lambda r, s: round_fn(s, r, True), stk
+            rf2 + R_P, R_T, lambda r, s: round_fn(s, r, True, mdsc), stk
         )
         out_ref[...] = jnp.concatenate(
             [stk[:, i * B0 : (i + 1) * B0] for i in range(t)], axis=0
@@ -293,12 +407,57 @@ def _make_kernel(plan: rns.RNSPlan, config, ablate: str = ""):
     return kernel, consts
 
 
+def max_sparse_run_len(plan: rns.RNSPlan, config) -> int:
+    """Value-bound gate for the v6.5 sparse partial rounds.
+
+    Element values grow ~2p per sparse round (the identity part rides the
+    mont_reduce omega addend un-re-reduced: out <= W/M1 + 2p + addend),
+    and every row-dot integer bound must stay under the p*M1 reduction
+    domain.  Exact integer simulation of the growth; returns the longest
+    admissible run length (0 = sparse path unusable for this config)."""
+    p, M1 = plan.p, plan.M1
+    t = config.t
+    zs = 3 * p  # post-sbox element 0 (mont_mul chain output < 3p)
+
+    def ok(L: int) -> bool:
+        V = 4 * p  # elements 1.. entering the run (dense round output + fold)
+        for i in range(L):
+            # sparse round: row-0 dot (t products, consts < p, elem0 < 4p)
+            if 4 * p * p + (t - 1) * p * V >= p * M1:
+                return False
+            V = (3 * p * p) // M1 + 2 * p + V + (p if i == L - 1 else 0)
+        # run-ending dense round re-reduces everything: full dot bound
+        return p * (zs + (t - 1) * V) < p * M1
+
+    L = 0
+    while L < 256 and ok(L + 1):
+        L += 1
+    return L
+
+
+def _sparse_schedule(plan: rns.RNSPlan, config):
+    """Build the v6.5 schedule, or None if the config can't use it."""
+    from crypto_primitives_tpu.ops import poseidon_sparse
+
+    if config.partial_rounds < 3:
+        return None
+    L = max_sparse_run_len(plan, config)
+    if L < 2:
+        return None
+    try:
+        return poseidon_sparse.build_sparse_schedule(config, L)
+    except ZeroDivisionError:  # singular Mhat during factorization
+        return None
+
+
 @functools.cache
 def _build_rns_permute(
-    plan: rns.RNSPlan, config, block_b: int, interpret: bool, ablate: str = ""
+    plan: rns.RNSPlan, config, block_b: int, interpret: bool, ablate: str = "",
+    sparse: bool = False,
 ):
     t = config.t
-    kernel, consts = _make_kernel(plan, config, ablate)
+    sched = _sparse_schedule(plan, config) if sparse else None
+    kernel, consts = _make_kernel(plan, config, ablate, sched)
 
     # pack the column constants into one (12, 2K, 1) array; base-1-only
     # vectors sit in rows :K with zero padding
@@ -340,16 +499,25 @@ def _build_rns_permute(
                 arr.shape, lambda i: (0,) * arr.ndim, memory_space=pltpu.VMEM
             )
 
+        const_arrays = [
+            consts["ark0"],
+            consts["arkf"],
+            consts["mds"],
+            consts["ext1_w"],
+            consts["ext2_w"],
+            vec_np,
+        ]
+        if sched is not None:
+            const_arrays += [
+                consts["sp_tab"],
+                consts["mds_pre"],
+                consts["dense_tab"],
+            ]
         out = pl.pallas_call(
             kernel,
             grid=(Bp // block_b,),
-            in_specs=[
-                full_spec(consts["ark0"]),
-                full_spec(consts["arkf"]),
-                full_spec(consts["mds"]),
-                full_spec(consts["ext1_w"]),
-                full_spec(consts["ext2_w"]),
-                full_spec(vec_np),
+            in_specs=[full_spec(a) for a in const_arrays]
+            + [
                 pl.BlockSpec(
                     (t * 2 * K, block_b), lambda i: (0, i), memory_space=pltpu.VMEM
                 ),
@@ -365,20 +533,21 @@ def _build_rns_permute(
                 vmem_limit_bytes=64 * 1024 * 1024
             ),
             interpret=interpret,
-        )(
-            jnp.asarray(consts["ark0"]),
-            jnp.asarray(consts["arkf"]),
-            jnp.asarray(consts["mds"]),
-            jnp.asarray(consts["ext1_w"]),
-            jnp.asarray(consts["ext2_w"]),
-            jnp.asarray(vec_np),
-            st,
-        )
+        )(*[jnp.asarray(a) for a in const_arrays], st)
         return out.T.reshape(Bp, t, 2 * K)[:B]
 
     return run
 
 
-def permute_rns(plan, config, state, block_b: int = DEFAULT_BLOCK, interpret: bool = False):
+# module default for the v6.5 sparse partial rounds; flipped once real-TPU
+# measurement confirms the win (bench.py / tools/bench_rns_kernel.py probe
+# both explicitly)
+SPARSE_DEFAULT = False
+
+
+def permute_rns(plan, config, state, block_b: int = DEFAULT_BLOCK,
+                interpret: bool = False, sparse=None):
     """Poseidon permutation on RNS-resident state (B, t, 2K) float32."""
-    return _build_rns_permute(plan, config, block_b, interpret)(state)
+    if sparse is None:
+        sparse = SPARSE_DEFAULT
+    return _build_rns_permute(plan, config, block_b, interpret, sparse=sparse)(state)

@@ -211,6 +211,14 @@ def build_plan(p: int) -> RNSPlan:
     assert w_lazy + (2 * mmax - 1) * (mmax - 1) + (mmax - 1) < 1 << 24
     # and each pair-grouped accumulation step stays f32-exact
     assert (2 * mmax - 1) + 2 * (2 * mmax - 1) * (mmax - 1) < 1 << 24
+    # v6.5 sparse partial rounds (poseidon_rns_pallas.sparse_mds_ark): the
+    # omega stage takes a VARIABLE addend (a lazy state residue < 2m-1,
+    # the sparse round's identity contribution) on top of the constant
+    # fold; raw w_j = const*z products (< (2m-1)(m-1)) ride the w1_lazy
+    # budget unchanged
+    assert w_lazy + (2 * mmax - 1) * (mmax - 1) + (2 * mmax - 1) + (
+        mmax - 1
+    ) < 1 << 24
     mont_one_int = M1 % p
     plan = RNSPlan(
         p=p,

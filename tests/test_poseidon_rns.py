@@ -111,3 +111,68 @@ def test_rns_kernel_padding(plan, rng):
     oracle.state = list(states[2])
     oracle.permute()
     assert [int(v) for v in got[2]] == oracle.state
+
+
+# ---------------- v6.5 sparse partial-round schedule ----------------
+
+from crypto_primitives_tpu.ops import poseidon_sparse as ps
+from crypto_primitives_tpu.ops.poseidon_rns_pallas import (
+    _sparse_schedule,
+    max_sparse_run_len,
+)
+
+
+@pytest.mark.parametrize("rate", [2, 3, 8])
+@pytest.mark.parametrize("max_run", [5, 100])
+def test_sparse_schedule_host_equivalence(rng, rate, max_run):
+    """The factored schedule (sparse runs + dense refresh rounds) is
+    bit-equal to the naive reference permutation for every state."""
+    for goal in (False, True):
+        cfg = get_default_poseidon_parameters(FR, rate, goal)
+        sched = ps.build_sparse_schedule(cfg, max_run)
+        for _ in range(3):
+            st = [rng.randrange(P) for _ in range(cfg.t)]
+            oracle = PoseidonSponge(cfg)
+            oracle.state = list(st)
+            oracle.permute()
+            assert ps.permute_with_schedule(cfg, sched, st) == oracle.state
+
+
+@pytest.mark.parametrize("rate", [2, 3, 8])
+def test_rns_kernel_sparse_interpret_matches_oracle(plan, rng, rate):
+    """The v6.5 kernel (sparse=True) under the f32 interpreter is
+    bit-exact vs the host oracle — covers the variable-addend fold, the
+    per-run pre matrices, and the transformed constants end to end.
+    (Configs whose value-bound gate closes fall back to the dense path
+    inside permute_rns and must STILL be bit-exact.)"""
+    cfg = get_default_poseidon_parameters(FR, rate, False)
+    if rate <= 3:
+        assert _sparse_schedule(plan, cfg) is not None, "gate should pass"
+    B = 3
+    states = [[rng.randrange(P) for _ in range(cfg.t)] for _ in range(B)]
+    r1, r2 = to_mont_rns(plan, states)
+    dev = jnp.asarray(np.concatenate([r1, r2], axis=-1), dtype=jnp.float32)
+    out = np.asarray(
+        permute_rns(plan, cfg, dev, block_b=128, interpret=True, sparse=True)
+    )
+    got = from_mont_rns(plan, out[..., : rns.K])
+    for i in range(B):
+        oracle = PoseidonSponge(cfg)
+        oracle.state = list(states[i])
+        oracle.permute()
+        assert [int(v) for v in got[i]] == oracle.state
+
+
+def test_sparse_run_len_gate(plan):
+    """Flagship (rate 2, t=3) gate opens with multi-run splitting; wide
+    rates may close (M1/p is only ~55) and fall back to dense."""
+    cfg = get_default_poseidon_parameters(FR, 2, False)
+    L = max_sparse_run_len(plan, cfg)
+    assert L >= 2
+    sched = ps.build_sparse_schedule(cfg, L)
+    assert not sched.is_sparse[-1]  # last partial round always dense
+    run = 0
+    for b in sched.is_sparse:
+        run = run + 1 if b else 0
+        assert run <= L
+    assert sum(sched.is_sparse) >= cfg.partial_rounds * 2 // 3
