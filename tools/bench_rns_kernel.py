@@ -20,10 +20,10 @@ from crypto_primitives_tpu.ops.fields_known import BLS12_381_FR as FR
 from crypto_primitives_tpu.ops.poseidon_rns_pallas import _build_rns_permute
 
 
-def sweep(block_b, B, K0=4, K1=20):
+def sweep(block_b, B, K0=4, K1=20, sparse=False):
     cfg = get_default_poseidon_parameters(FR, 2, False)
     plan = rns.build_plan(FR.p)
-    perm = _build_rns_permute(plan, cfg, block_b, False)
+    perm = _build_rns_permute(plan, cfg, block_b, False, sparse=sparse)
     state = jnp.zeros((B, cfg.t, 2 * rns.K), jnp.float32)
 
     def many(k):
@@ -43,7 +43,8 @@ def sweep(block_b, B, K0=4, K1=20):
 
     t0, t1 = timed(many(K0)), timed(many(K1))
     pps = B * (K1 - K0) / max(t1 - t0, 1e-9)
-    print(f"block={block_b:5d} B={B:6d}  {pps/1e6:7.2f}e6 perm/s", flush=True)
+    tag = "sparse" if sparse else "dense "
+    print(f"{tag} block={block_b:5d} B={B:6d}  {pps/1e6:7.2f}e6 perm/s", flush=True)
     return pps
 
 
@@ -60,12 +61,20 @@ if __name__ == "__main__":
         (8192, 131072),
         (16384, 131072),
     ]
-    if len(sys.argv) > 1:
-        combos = [tuple(map(int, a.split(","))) for a in sys.argv[1:]]
-    best = 0.0
-    for blk, B in combos:
-        try:
-            best = max(best, sweep(blk, B))
-        except Exception as e:
-            print(f"block={blk} B={B} FAILED: {type(e).__name__}: {e}", flush=True)
-    print(f"best: {best/1e6:.2f}e6 perm/s")
+    args = [a for a in sys.argv[1:] if "," in a]
+    if args:
+        combos = [tuple(map(int, a.split(","))) for a in args]
+    modes = (
+        [True] if "--sparse" in sys.argv
+        else [False] if "--dense" in sys.argv
+        else [False, True]  # v6.4 dense vs v6.5 sparse side by side
+    )
+    for sparse in modes:
+        best = 0.0
+        for blk, B in combos:
+            try:
+                best = max(best, sweep(blk, B, sparse=sparse))
+            except Exception as e:
+                print(f"block={blk} B={B} sparse={sparse} FAILED: "
+                      f"{type(e).__name__}: {e}", flush=True)
+        print(f"best {'sparse' if sparse else 'dense'}: {best/1e6:.2f}e6 perm/s")
