@@ -13,12 +13,16 @@ import time
 import jax
 import jax.numpy as jnp
 
-try:
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache_tpu")
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-except Exception:
-    pass
+# Persistent cache only for TPU executables: XLA:CPU AOT entries are
+# machine-feature-pinned and reloading them on a different host risks
+# SIGILL (observed on this box).
+if jax.default_backend() != "cpu":
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache_tpu")
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
 
 from crypto_primitives_tpu.models.sponge import get_default_poseidon_parameters
 from crypto_primitives_tpu.models.sponge.poseidon import permute as permute_xla

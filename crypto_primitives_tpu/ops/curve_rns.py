@@ -1,0 +1,213 @@
+"""Twisted-Edwards curve arithmetic over RNS-Montgomery residues.
+
+The fast device path for every curve-op workload — Pedersen / Bowe-Hopwood
+CRHs and commitments, Schnorr, ElGamal, fixed-base MSM — replacing the
+16-limb schoolbook `ops/curve.py` device tier with the f32 RNS field of
+ops/rns_xla.py (the arithmetic that took the Poseidon kernel 5x past the
+limb path).  Same complete HWCD addition law as ops/curve.py:228 (the
+arkworks `ark-ec` TE projective ops twin,
+/root/reference/crypto-primitives/src/crh/pedersen/mod.rs:113-124 is the
+workload it feeds); results are bit-equal to the limb path after
+conversion because both compute identical field values.
+
+Point layout: (..., 4, 2K) float32 — X, Y, T, Z extended coordinates,
+each an RNS residue row (ops/rns_xla.py representation).  The value-bound
+invariant: every stored point has all coordinates < 3p (MUL_OUT), and
+te_add_rns maps 3p-bounded inputs to 3p-bounded outputs, so chains of any
+length are exact (bound algebra asserted at trace time):
+
+    s1 = X1+Y1 (6p)           S = s1*s2   (36 <= M1//p)
+    A,B,TT,D   (3p*3p = 9)    C = d*TT, aA = a*A (3)
+    E = S-A-B  (3+6 = 9p)     F = D-C (6p)   G = D+C (6p)   H = B-aA (6p)
+    X3 = E*F (54 <= 55) ... all products <= 54 < M1//p.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from crypto_primitives_tpu.ops import rns
+from crypto_primitives_tpu.ops import rns_xla
+from crypto_primitives_tpu.ops.rns import K
+from crypto_primitives_tpu.ops.rns_xla import RnsField
+
+BOUND = RnsField.MUL_OUT  # every stored coordinate is < BOUND*p
+
+
+@functools.cache
+def curve_field(curve) -> RnsField:
+    return RnsField(rns.build_plan(curve.base.p))
+
+
+def supports_rns(curve) -> bool:
+    """The 2xK eleven-bit base covers odd primes up to ~2^264 with the
+    16p margin; SW curves over 381-bit fields stay on the limb path."""
+    try:
+        rns.build_plan(curve.base.p)
+        return True
+    except AssertionError:
+        return False
+
+
+@functools.cache
+def _curve_consts(curve):
+    """(a, d) curve constants and the identity point, packed (bound 1).
+    Numpy arrays so the cache never captures jit tracers."""
+    f = curve_field(curve)
+    a = f.pack(curve.a).astype(np.float32)
+    d = f.pack(curve.d).astype(np.float32)
+    ident = np.stack(
+        [f.pack(0), f.pack(1), f.pack(0), f.pack(1)], axis=0
+    ).astype(np.float32)  # (4, 2K)
+    return a, d, ident
+
+
+def pack_points_rns(curve, pts) -> np.ndarray:
+    """Host affine tuples -> (..., 4, 2K) f32 extended RNS points (bound 1).
+
+    Accepts a single (x, y) tuple or a flat list (mirrors
+    TECurveSpec.pack_points)."""
+    f = curve_field(curve)
+    single = isinstance(pts, tuple)
+    if single:
+        pts = [pts]
+    p = curve.base.p
+    coords = np.empty((len(pts), 4), dtype=object)
+    for i, (x, y) in enumerate(pts):
+        x, y = int(x) % p, int(y) % p
+        coords[i] = [x, y, x * y % p, 1]
+    out = f.pack(coords)  # (N, 4, 2K)
+    return out[0] if single else out
+
+
+def unpack_points_rns(curve, arr):
+    """(..., 4, 2K) -> host affine tuples (oracle-side inverse)."""
+    f = curve_field(curve)
+    vals = f.unpack(np.asarray(arr))
+    flat = vals.reshape(-1, 4)
+    p = curve.base.p
+    out = np.empty((flat.shape[0],), dtype=object)
+    for i in range(flat.shape[0]):
+        x, y, _, z = (int(v) for v in flat[i])
+        zi = pow(z, -1, p)
+        out[i] = (x * zi % p, y * zi % p)
+    if np.asarray(arr).ndim == 2:
+        return out[0]
+    return out.reshape(np.asarray(arr).shape[:-2])
+
+
+def identity_rns(curve, shape=()) -> jnp.ndarray:
+    _, _, ident = _curve_consts(curve)
+    return jnp.broadcast_to(ident, shape + (4, 2 * K))
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def te_add_rns(curve, p1: jnp.ndarray, p2: jnp.ndarray) -> jnp.ndarray:
+    """Unified extended-coordinate addition (add-2008-hwcd), all 11 field
+    muls batched into 3 stacked mont_muls (same grouping as
+    ops/curve.py:te_add, but over RNS residues)."""
+    f = curve_field(curve)
+    ca, cd, _ = _curve_consts(curve)
+    p1, p2 = jnp.broadcast_arrays(p1, p2)
+    X1, Y1, T1, Z1 = (p1[..., i, :] for i in range(4))
+    X2, Y2, T2, Z2 = (p2[..., i, :] for i in range(4))
+    s1, _ = f.add(X1, BOUND, Y1, BOUND)  # 6p
+    s2, _ = f.add(X2, BOUND, Y2, BOUND)
+    # round 1: A=X1*X2, B=Y1*Y2, TT=T1*T2, D=Z1*Z2, S=s1*s2
+    lhs = jnp.stack([X1, Y1, T1, Z1, s1], axis=-2)
+    rhs = jnp.stack([X2, Y2, T2, Z2, s2], axis=-2)
+    assert 2 * BOUND * 2 * BOUND <= f.max_prod
+    r1 = rns_xla.mul_raw(f.c, lhs, rhs)
+    A, B, TT, D, S = (r1[..., i, :] for i in range(5))
+    # round 2 (curve constants): C = d*TT, aA = a*A
+    consts = jnp.broadcast_to(
+        jnp.stack([cd, ca], axis=0), A.shape[:-1] + (2, 2 * K)
+    )
+    r2 = rns_xla.mul_raw(f.c, jnp.stack([TT, A], axis=-2), consts)
+    C, aA = r2[..., 0, :], r2[..., 1, :]
+    AB, bAB = f.add(A, BOUND, B, BOUND)
+    E, bE = f.sub(S, BOUND, AB, bAB)  # 9p
+    F_, bF = f.sub(D, BOUND, C, BOUND)  # 6p
+    G, bG = f.add(D, BOUND, C, BOUND)  # 6p
+    H, bH = f.sub(B, BOUND, aA, BOUND)  # 6p
+    # round 3: X3=E*F, Y3=G*H, T3=E*H, Z3=F*G
+    assert bE * bF <= f.max_prod and bG * bH <= f.max_prod
+    assert bE * bH <= f.max_prod and bF * bG <= f.max_prod
+    lhs3 = jnp.stack([E, G, E, F_], axis=-2)
+    rhs3 = jnp.stack([F_, H, H, G], axis=-2)
+    return rns_xla.mul_raw(f.c, lhs3, rhs3)
+
+
+def te_select_rns(mask: jnp.ndarray, p1: jnp.ndarray, p2: jnp.ndarray) -> jnp.ndarray:
+    return jnp.where(mask[..., None, None], p1, p2)
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def te_sum_rns(curve, pts: jnp.ndarray) -> jnp.ndarray:
+    """Sum along axis -3 by log-depth pairwise reduction (TPU shape of the
+    reference's rayon window sums, src/crh/pedersen/mod.rs:113-124)."""
+    pts = jnp.moveaxis(pts, -3, 0)
+    n = pts.shape[0]
+    while n > 1:
+        if n % 2 == 1:
+            pad = identity_rns(curve, pts.shape[1:-2])[None]
+            pts = jnp.concatenate([pts, pad], axis=0)
+            n += 1
+        pts = te_add_rns(curve, pts[0::2], pts[1::2])
+        n //= 2
+    return pts[0]
+
+
+@functools.partial(jax.jit, static_argnums=(0, 3))
+def te_conditional_sum_rns(
+    curve, table: jnp.ndarray, bits: jnp.ndarray, chunk: int = 512
+) -> jnp.ndarray:
+    """sum_j bits[..., j] * table[j] over an RNS point table (N, 4, 2K) —
+    the fixed-base multi-scalar kernel (Pedersen per-window doubling
+    tables, src/crh/pedersen/mod.rs:48-56).  Returns (..., 4, 2K)."""
+    n = table.shape[0]
+    batch = bits.shape[:-1]
+    acc = identity_rns(curve, batch)
+    for start in range(0, n, chunk):
+        end = min(start + chunk, n)
+        tb = table[start:end]
+        bb = bits[..., start:end]
+        sel = te_select_rns(
+            bb != 0,
+            jnp.broadcast_to(tb, batch + tb.shape),
+            identity_rns(curve, batch + (end - start,)),
+        )
+        acc = te_add_rns(curve, acc, te_sum_rns(curve, sel))
+    return acc
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def te_scalar_mul_bits_rns(
+    curve, base_pt: jnp.ndarray, bits: jnp.ndarray
+) -> jnp.ndarray:
+    """base_pt (..., 4, 2K) times scalar bits (..., NBITS) LSB-first;
+    branchless double-and-add via lax.scan (variable-base kernel for
+    Schnorr/ElGamal, src/signature/schnorr/mod.rs:85-90)."""
+    bits_scan = jnp.moveaxis(bits, -1, 0)
+
+    def body(carry, bit):
+        acc, b = carry
+        acc = te_select_rns(bit != 0, te_add_rns(curve, acc, b), acc)
+        b = te_add_rns(curve, b, b)
+        return (acc, b), None
+
+    acc0 = identity_rns(curve, base_pt.shape[:-2])
+    (acc, _), _ = jax.lax.scan(body, (acc0, base_pt), bits_scan)
+    return acc
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def to_limb_points(curve, pts: jnp.ndarray) -> jnp.ndarray:
+    """RNS extended points (..., 4, 2K) -> canonical Montgomery uint32 limb
+    points (..., 4, L) (ops/curve.py representation), on device."""
+    f = curve_field(curve)
+    return rns_xla.to_mont_limbs(f.plan, curve.base, pts, BOUND)

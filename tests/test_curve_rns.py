@@ -1,0 +1,148 @@
+"""RNS-Montgomery curve path (ops/rns_xla.py + ops/curve_rns.py) parity.
+
+Oracle = the host python-int tier (ops/curve.py host ops), the same oracle
+the limb device tier is tested against; plus direct cross-checks against
+the limb device path so the two device tiers agree bit-for-bit after
+conversion.  Reference semantics: ark-ec TE projective arithmetic feeding
+crh/pedersen (reference src/crh/pedersen/mod.rs:113-124).
+"""
+
+import random
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from crypto_primitives_tpu.ops import curve as cv
+from crypto_primitives_tpu.ops import curve_rns as cr
+from crypto_primitives_tpu.ops import rns, rns_xla
+from crypto_primitives_tpu.ops.curves_known import ED_ON_BLS12_377, JUBJUB
+
+
+@pytest.fixture(scope="module")
+def rng():
+    return random.Random(20260818)
+
+
+def test_field_ops_random(rng):
+    p = JUBJUB.base.p
+    f = rns_xla.RnsField(rns.build_plan(p))
+    xs = [rng.randrange(p) for _ in range(8)]
+    ys = [rng.randrange(p) for _ in range(8)]
+    a = jnp.asarray(f.pack(np.asarray(xs, dtype=object)))
+    b = jnp.asarray(f.pack(np.asarray(ys, dtype=object)))
+    got_mul, bm = f.mul(a, 1, b, 1)
+    got_add, _ = f.add(a, 1, b, 1)
+    got_sub, _ = f.sub(a, 1, b, 1)
+    assert bm == 3
+    mu = f.unpack(np.asarray(got_mul))
+    ad = f.unpack(np.asarray(got_add))
+    su = f.unpack(np.asarray(got_sub))
+    for i in range(8):
+        assert int(mu[i]) == xs[i] * ys[i] % p
+        assert int(ad[i]) == (xs[i] + ys[i]) % p
+        assert int(su[i]) == (xs[i] - ys[i]) % p
+
+
+def test_mul_chain_stays_bounded(rng):
+    """Repeated squaring through the checked API keeps values exact."""
+    p = JUBJUB.base.p
+    f = rns_xla.RnsField(rns.build_plan(p))
+    x = rng.randrange(p)
+    a = jnp.asarray(f.pack(x))
+    b = 1
+    expect = x
+    for _ in range(12):
+        a, b = f.mul(a, b, a, b)
+        expect = expect * expect % p
+    assert int(f.unpack(np.asarray(a))) == expect
+
+
+@pytest.mark.parametrize("curve", [JUBJUB, ED_ON_BLS12_377], ids=lambda c: c.name)
+def test_te_add_chain_vs_host(curve, rng):
+    pts = [curve.rand_point(rng) for _ in range(6)]
+    dev = jnp.asarray(cr.pack_points_rns(curve, pts))
+    acc_dev = cr.identity_rns(curve)
+    acc_host = curve.zero_host()
+    for i in range(6):
+        acc_dev = cr.te_add_rns(curve, acc_dev, dev[i])
+        acc_host = curve.add_host(acc_host, pts[i])
+        assert cr.unpack_points_rns(curve, np.asarray(acc_dev)) == acc_host
+
+
+def test_te_add_identity_and_doubling(rng):
+    curve = JUBJUB
+    pt = curve.rand_point(rng)
+    d = jnp.asarray(cr.pack_points_rns(curve, pt))
+    ident = cr.identity_rns(curve)
+    assert cr.unpack_points_rns(curve, np.asarray(cr.te_add_rns(curve, d, ident))) == pt
+    dbl = cr.te_add_rns(curve, d, d)
+    assert cr.unpack_points_rns(curve, np.asarray(dbl)) == curve.double_host(pt)
+    # identity + identity
+    z = cr.te_add_rns(curve, ident, ident)
+    assert cr.unpack_points_rns(curve, np.asarray(z)) == curve.zero_host()
+
+
+def test_conditional_sum_vs_limb_path(rng):
+    curve = JUBJUB
+    n, B = 37, 4
+    pts = [curve.rand_point(rng) for _ in range(n)]
+    bits_np = np.asarray(
+        [[rng.randrange(2) for _ in range(n)] for _ in range(B)], np.uint8
+    )
+    bits = jnp.asarray(bits_np)
+    table_rns = jnp.asarray(cr.pack_points_rns(curve, pts))
+    got = cr.te_conditional_sum_rns(curve, table_rns, bits, chunk=16)
+    got_aff = cr.unpack_points_rns(curve, np.asarray(got))
+    # limb device path
+    table_limb = jnp.asarray(curve.pack_points(pts))
+    limb = cv.te_conditional_sum(curve, table_limb, bits, 16)
+    limb_aff = curve.unpack_points(np.asarray(limb))
+    # host oracle
+    for i in range(B):
+        acc = curve.zero_host()
+        for j in range(n):
+            if bits_np[i, j]:
+                acc = curve.add_host(acc, pts[j])
+        assert got_aff[i] == acc
+        assert limb_aff[i] == acc
+
+
+def test_scalar_mul_bits_vs_host(rng):
+    curve = JUBJUB
+    pt = curve.rand_point(rng)
+    k = rng.randrange(curve.scalar.p)
+    nbits = curve.scalar.p.bit_length()
+    bits = jnp.asarray([(k >> i) & 1 for i in range(nbits)], jnp.uint8)
+    dev = jnp.asarray(cr.pack_points_rns(curve, pt))
+    got = cr.te_scalar_mul_bits_rns(curve, dev, bits)
+    assert cr.unpack_points_rns(curve, np.asarray(got)) == curve.scalar_mul_host(pt, k)
+
+
+def test_to_limb_points_device_conversion(rng):
+    """RNS -> Montgomery-limb conversion on device matches the limb tier
+    bit-for-bit (canonical limbs of identical field values)."""
+    curve = JUBJUB
+    pts = [curve.rand_point(rng) for _ in range(5)]
+    dev = jnp.asarray(cr.pack_points_rns(curve, pts))
+    # run through one add so Z != 1 and values carry the 3p lazy bound
+    shifted = cr.te_add_rns(curve, dev, jnp.roll(dev, 1, axis=0))
+    limbs = np.asarray(cr.to_limb_points(curve, shifted))
+    # canonical: every limb row must unpack to the same ints as the RNS rows
+    want = cr.curve_field(curve).unpack(np.asarray(shifted))
+    got = curve.base.unpack(limbs.reshape(-1, limbs.shape[-1])).reshape(5, 4)
+    for i in range(5):
+        for j in range(4):
+            assert int(got[i, j]) == int(want[i, j])
+    # and the affine interpretation matches the host chain
+    aff = curve.unpack_points(limbs)
+    for i in range(5):
+        assert aff[i] == curve.add_host(pts[i], pts[(i - 1) % 5])
+
+
+def test_supports_rns():
+    from crypto_primitives_tpu.ops.curves_known import BLS12_381_G1
+
+    assert cr.supports_rns(JUBJUB)
+    assert cr.supports_rns(ED_ON_BLS12_377)
+    assert not cr.supports_rns(BLS12_381_G1)
