@@ -22,6 +22,7 @@ from crypto_primitives_tpu.models.crh.pedersen import (
     Window,
 )
 from crypto_primitives_tpu.ops import curve as cv
+from crypto_primitives_tpu.ops import curve_rns as cr
 from crypto_primitives_tpu.ops.curve import TECurveSpec
 
 
@@ -35,6 +36,10 @@ class PedersenCommitmentParameters:
     def packed_randomness(self) -> np.ndarray:
         # numpy, not jnp: trace-safe caching
         return self.curve.pack_points(self.randomness_generator)
+
+    @functools.cache
+    def packed_randomness_rns(self) -> np.ndarray:
+        return cr.pack_points_rns(self.curve, self.randomness_generator)
 
     def crh_params(self) -> PedersenParameters:
         if not hasattr(self, "_crh_params"):
@@ -81,6 +86,15 @@ class PedersenCommitment:
 
         Returns affine commitments (..., 2, L).
         """
+        if cr.supports_rns(self.curve):
+            msg = self.crh.evaluate_batch_rns(params.crh_params(), inputs)
+            blind = cr.te_conditional_sum_rns(
+                self.curve, params.packed_randomness_rns(), randomness
+            )
+            ext = cr.to_limb_points(
+                self.curve, cr.te_add_rns(self.curve, msg, blind)
+            )
+            return cv.te_to_affine(self.curve, ext)
         msg = self.crh.evaluate_batch_extended(params.crh_params(), inputs)
         blind = cv.te_conditional_sum(
             self.curve, params.packed_randomness(), randomness

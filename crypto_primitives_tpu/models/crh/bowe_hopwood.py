@@ -24,6 +24,7 @@ from crypto_primitives_tpu.models.crh.pedersen import (
     bytes_to_bits_batch,
 )
 from crypto_primitives_tpu.ops import curve as cv
+from crypto_primitives_tpu.ops import curve_rns as cr
 from crypto_primitives_tpu.ops.curve import TECurveSpec
 
 CHUNK_SIZE = 3
@@ -44,6 +45,16 @@ class BoweHopwoodParameters:
         dbl = [self.curve.double_host(pt) for pt in flat]
         g2 = self.curve.pack_points(dbl)
         return g, g2
+
+    @functools.cache
+    def packed_rns(self):
+        """Same tables in RNS residues (W*S, 4, 2K)."""
+        flat = [g for win in self.generators for g in win]
+        dbl = [self.curve.double_host(pt) for pt in flat]
+        return (
+            cr.pack_points_rns(self.curve, flat),
+            cr.pack_points_rns(self.curve, dbl),
+        )
 
     def __hash__(self):
         return id(self)
@@ -126,8 +137,37 @@ class BoweHopwoodCRH:
         nchunks = self.window.window_size * self.window.num_windows
         bits = bytes_to_bits_batch(np.asarray(inputs), nchunks * CHUNK_SIZE)
         bits = jnp.asarray(bits).reshape(inputs.shape[:-1] + (nchunks, CHUNK_SIZE))
-        g, g2 = params.packed()
         batch = bits.shape[:-2]
+        n_real = -(-(nbytes * 8) // CHUNK_SIZE)
+        if cr.supports_rns(self.curve):
+            g, g2 = params.packed_rns()
+            gb = jnp.broadcast_to(g, batch + g.shape)
+            enc = cr.te_add_rns(
+                self.curve,
+                gb,
+                cr.te_select_rns(
+                    bits[..., 0] != 0, gb, cr.identity_rns(self.curve, batch + (nchunks,))
+                ),
+            )
+            enc = cr.te_add_rns(
+                self.curve,
+                enc,
+                cr.te_select_rns(
+                    bits[..., 1] != 0,
+                    jnp.broadcast_to(g2, batch + g2.shape),
+                    cr.identity_rns(self.curve, batch + (nchunks,)),
+                ),
+            )
+            enc = cr.te_select_rns(bits[..., 2] != 0, cr.te_neg_rns(self.curve, enc), enc)
+            mask = jnp.arange(nchunks) < n_real
+            enc = cr.te_select_rns(
+                jnp.broadcast_to(mask, batch + (nchunks,)),
+                enc,
+                cr.identity_rns(self.curve, batch + (nchunks,)),
+            )
+            total = cr.to_limb_points(self.curve, cr.te_sum_rns(self.curve, enc))
+            return cv.te_to_affine(self.curve, total)[..., 0, :]
+        g, g2 = params.packed()
         gb = jnp.broadcast_to(g, batch + g.shape)
         # enc = g (+ g if c0) (+ 2g if c1), then negate if c2
         enc = cv.te_add(
@@ -148,7 +188,6 @@ class BoweHopwoodCRH:
         # chunks beyond the (3-bit-padded) input are ABSENT in the reference
         # (input is padded only to a multiple of CHUNK_SIZE, mod.rs:131-140),
         # so they must contribute the identity, not (0,0,0)-encoded +g.
-        n_real = -(-(nbytes * 8) // CHUNK_SIZE)
         mask = jnp.arange(nchunks) < n_real
         enc = cv.te_select(
             jnp.broadcast_to(mask, batch + (nchunks,)),

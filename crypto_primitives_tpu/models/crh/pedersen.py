@@ -23,6 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from crypto_primitives_tpu.ops import curve as cv
+from crypto_primitives_tpu.ops import curve_rns as cr
 from crypto_primitives_tpu.ops.curve import TECurveSpec
 
 
@@ -49,6 +50,12 @@ class PedersenParameters:
         memoize tracers."""
         flat = [g for win in self.generators for g in win]
         return self.curve.pack_points(flat)
+
+    @functools.cache
+    def packed_flat_rns(self) -> np.ndarray:
+        """Same table in RNS residues (num_windows*window_size, 4, 2K)."""
+        flat = [g for win in self.generators for g in win]
+        return cr.pack_points_rns(self.curve, flat)
 
     def __hash__(self):
         return id(self)
@@ -124,8 +131,19 @@ class PedersenCRH:
                     acc = self.curve.add_host(acc, base)
         return acc
 
+    def evaluate_batch_rns(self, params: PedersenParameters, inputs: jnp.ndarray) -> jnp.ndarray:
+        """inputs (..., nbytes) uint8 -> RNS extended digests (..., 4, 2K)
+        (the fast path: ops/curve_rns.py conditional-sum MSM)."""
+        nbytes = inputs.shape[-1]
+        assert nbytes * 8 <= self.input_size_bits
+        bits = jnp.asarray(bytes_to_bits_batch(np.asarray(inputs), self.input_size_bits))
+        return cr.te_conditional_sum_rns(self.curve, params.packed_flat_rns(), bits)
+
     def evaluate_batch_extended(self, params: PedersenParameters, inputs: jnp.ndarray) -> jnp.ndarray:
         """inputs (..., nbytes) uint8 -> extended digests (..., 4, L)."""
+        if cr.supports_rns(self.curve):
+            acc = self.evaluate_batch_rns(params, inputs)
+            return cr.to_limb_points(self.curve, acc)
         nbytes = inputs.shape[-1]
         assert nbytes * 8 <= self.input_size_bits
         bits = jnp.asarray(bytes_to_bits_batch(np.asarray(inputs), self.input_size_bits))

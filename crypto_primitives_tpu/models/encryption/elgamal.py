@@ -14,6 +14,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from crypto_primitives_tpu.ops import curve as cv
+from crypto_primitives_tpu.ops import curve_rns as cr
 from crypto_primitives_tpu.ops.curve import TECurveSpec
 
 
@@ -62,9 +63,23 @@ class ElGamal:
     def encrypt_batch(self, params: ElGamalParameters, pk, messages: List, randomness: List[int]):
         """Batched Enc over B messages/randomness; returns list of ciphertexts."""
         B = len(messages)
+        rbits = jnp.asarray(self._scalars_to_bits(randomness))
+        if cr.supports_rns(self.curve):
+            gen = jnp.asarray(cr.pack_points_rns(self.curve, params.generator))
+            pkd = jnp.asarray(cr.pack_points_rns(self.curve, pk))
+            c1 = cr.te_scalar_mul_bits_rns(
+                self.curve, jnp.broadcast_to(gen, (B,) + gen.shape), rbits
+            )
+            s = cr.te_scalar_mul_bits_rns(
+                self.curve, jnp.broadcast_to(pkd, (B,) + pkd.shape), rbits
+            )
+            msgs = jnp.asarray(cr.pack_points_rns(self.curve, list(messages)))
+            c2 = cr.te_add_rns(self.curve, msgs, s)
+            c1h = cr.unpack_points_rns(self.curve, np.asarray(c1))
+            c2h = cr.unpack_points_rns(self.curve, np.asarray(c2))
+            return [(tuple(c1h[i]), tuple(c2h[i])) for i in range(B)]
         gen = jnp.asarray(self.curve.pack_points(params.generator))
         pkd = jnp.asarray(self.curve.pack_points(pk))
-        rbits = jnp.asarray(self._scalars_to_bits(randomness))
         c1 = cv.te_scalar_mul_bits(
             self.curve, jnp.broadcast_to(gen, (B,) + gen.shape), rbits
         )
@@ -79,9 +94,16 @@ class ElGamal:
 
     def decrypt_batch(self, params: ElGamalParameters, sk: int, ciphertexts: List):
         B = len(ciphertexts)
+        sk_bits = jnp.asarray(self._scalars_to_bits([sk] * B))
+        if cr.supports_rns(self.curve):
+            c1 = jnp.asarray(cr.pack_points_rns(self.curve, [c[0] for c in ciphertexts]))
+            c2 = jnp.asarray(cr.pack_points_rns(self.curve, [c[1] for c in ciphertexts]))
+            s = cr.te_scalar_mul_bits_rns(self.curve, c1, sk_bits)
+            m = cr.te_add_rns(self.curve, c2, cr.te_neg_rns(self.curve, s))
+            mh = cr.unpack_points_rns(self.curve, np.asarray(m))
+            return [tuple(mh[i]) for i in range(B)]
         c1 = jnp.asarray(self.curve.pack_points([c[0] for c in ciphertexts]))
         c2 = jnp.asarray(self.curve.pack_points([c[1] for c in ciphertexts]))
-        sk_bits = jnp.asarray(self._scalars_to_bits([sk] * B))
         s = cv.te_scalar_mul_bits(self.curve, c1, sk_bits)
         m = cv.te_add(self.curve, c2, cv.te_neg(self.curve, s))
         mh = self.curve.unpack_points(np.asarray(m))

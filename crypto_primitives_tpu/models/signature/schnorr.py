@@ -29,6 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from crypto_primitives_tpu.ops import curve as cv
+from crypto_primitives_tpu.ops import curve_rns as cr
 from crypto_primitives_tpu.ops.curve import TECurveSpec
 
 
@@ -147,14 +148,24 @@ class Schnorr:
         finish the byte hashing on host."""
         B = len(sigs)
         assert len(pks) == B and len(messages) == B
-        gen = jnp.asarray(self.curve.pack_points(params.generator))
-        gens = jnp.broadcast_to(gen, (B,) + gen.shape)
-        pks_dev = jnp.asarray(self.curve.pack_points(list(pks)))
         s_bits = jnp.asarray(self._scalars_to_bits([s.prover_response for s in sigs]))
         e_bits = jnp.asarray(self._scalars_to_bits([s.verifier_challenge for s in sigs]))
-        sg = cv.te_scalar_mul_bits(self.curve, gens, s_bits)
-        epk = cv.te_scalar_mul_bits(self.curve, pks_dev, e_bits)
-        r_primes = self.curve.unpack_points(np.asarray(cv.te_add(self.curve, sg, epk)))
+        if cr.supports_rns(self.curve):
+            gen = jnp.asarray(cr.pack_points_rns(self.curve, params.generator))
+            gens = jnp.broadcast_to(gen, (B,) + gen.shape)
+            pks_dev = jnp.asarray(cr.pack_points_rns(self.curve, list(pks)))
+            sg = cr.te_scalar_mul_bits_rns(self.curve, gens, s_bits)
+            epk = cr.te_scalar_mul_bits_rns(self.curve, pks_dev, e_bits)
+            r_primes = cr.unpack_points_rns(
+                self.curve, np.asarray(cr.te_add_rns(self.curve, sg, epk))
+            )
+        else:
+            gen = jnp.asarray(self.curve.pack_points(params.generator))
+            gens = jnp.broadcast_to(gen, (B,) + gen.shape)
+            pks_dev = jnp.asarray(self.curve.pack_points(list(pks)))
+            sg = cv.te_scalar_mul_bits(self.curve, gens, s_bits)
+            epk = cv.te_scalar_mul_bits(self.curve, pks_dev, e_bits)
+            r_primes = self.curve.unpack_points(np.asarray(cv.te_add(self.curve, sg, epk)))
         out = []
         for i in range(B):
             e = self._from_random_bytes(

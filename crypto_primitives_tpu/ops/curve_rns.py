@@ -43,9 +43,20 @@ def curve_field(curve) -> RnsField:
     return RnsField(rns.build_plan(curve.base.p))
 
 
+import os
+
+# escape hatch for debugging / A-B benching: CPT_DISABLE_RNS_CURVE=1 forces
+# every primitive back onto the limb-schoolbook device tier
+DISABLED = os.environ.get("CPT_DISABLE_RNS_CURVE") == "1"
+
+
 def supports_rns(curve) -> bool:
     """The 2xK eleven-bit base covers odd primes up to ~2^264 with the
     16p margin; SW curves over 381-bit fields stay on the limb path."""
+    from crypto_primitives_tpu.ops.curve import TECurveSpec
+
+    if DISABLED or not isinstance(curve, TECurveSpec):
+        return False
     try:
         rns.build_plan(curve.base.p)
         return True
@@ -144,6 +155,18 @@ def te_add_rns(curve, p1: jnp.ndarray, p2: jnp.ndarray) -> jnp.ndarray:
 
 def te_select_rns(mask: jnp.ndarray, p1: jnp.ndarray, p2: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(mask[..., None, None], p1, p2)
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def te_neg_rns(curve, p1: jnp.ndarray) -> jnp.ndarray:
+    """(X, Y, T, Z) -> (-X, Y, -T, Z); negation = 0 - x with the BOUND*p
+    offset keeping values nonnegative."""
+    f = curve_field(curve)
+    X, Y, T, Z = (p1[..., i, :] for i in range(4))
+    zero = jnp.zeros_like(X)
+    nX, _ = f.sub(zero, 0, X, BOUND)
+    nT, _ = f.sub(zero, 0, T, BOUND)
+    return jnp.stack([nX, Y, nT, Z], axis=-2)
 
 
 @functools.partial(jax.jit, static_argnums=(0,))
