@@ -7,7 +7,8 @@ import jax
 import numpy as np
 
 try:
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache_tpu")
+    if jax.default_backend() != "cpu":
+        jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache_tpu")
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 except Exception:

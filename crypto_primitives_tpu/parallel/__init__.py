@@ -8,7 +8,10 @@ leaves/points sharded by index, parameter tables replicated.
 
 from crypto_primitives_tpu.parallel.mesh import make_mesh
 from crypto_primitives_tpu.parallel.merkle import sharded_merkle_root
-from crypto_primitives_tpu.parallel.msm import sharded_fixed_base_msm
+from crypto_primitives_tpu.parallel.msm import (
+    sharded_fixed_base_msm,
+    sharded_fixed_base_msm_rns,
+)
 from crypto_primitives_tpu.parallel.merkle_tree_sharded import (
     sharded_merkle_build_prove_all,
     sharded_permute_batch,

@@ -46,3 +46,37 @@ def sharded_fixed_base_msm(
         check_vma=False,
     )
     return fn(table, bits)
+
+
+def sharded_fixed_base_msm_rns(
+    curve: TECurveSpec,
+    table_rns: jnp.ndarray,
+    bits: jnp.ndarray,
+    mesh: Mesh,
+    axis_name: str = "data",
+) -> jnp.ndarray:
+    """RNS fast-path twin of :func:`sharded_fixed_base_msm`.
+
+    table_rns: (N, 4, 2K) residues (ops/curve_rns.pack_points_rns); returns
+    replicated extended limb points (..., 4, L) — per-device partials stay
+    in RNS, only the final fold converts (one Kawamura CRT per output).
+    """
+    from crypto_primitives_tpu.ops import curve_rns as cr
+
+    n_dev = mesh.shape[axis_name]
+    assert table_rns.shape[0] % n_dev == 0
+
+    def shard_fn(table_shard, bits_shard):
+        partial = cr.te_conditional_sum_rns(curve, table_shard, bits_shard)
+        gathered = jax.lax.all_gather(partial, axis_name)  # (D, ..., 4, 2K)
+        acc = cr.te_sum_rns(curve, jnp.moveaxis(gathered, 0, -3))
+        return cr.to_limb_points(curve, acc)
+
+    fn = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(axis_name), P(*([None] * (bits.ndim - 1) + [axis_name]))),
+        out_specs=P(),
+        check_vma=False,
+    )
+    return fn(table_rns, bits)

@@ -21,6 +21,7 @@ from crypto_primitives_tpu.ops.fields_known import BLS12_381_FR as FR
 from crypto_primitives_tpu.parallel import (
     make_mesh,
     sharded_fixed_base_msm,
+    sharded_fixed_base_msm_rns,
     sharded_merkle_root,
 )
 
@@ -54,6 +55,23 @@ def test_sharded_msm_matches_single_device(rng):
     single = cv.te_conditional_sum(JUBJUB, table, jnp.asarray(bits))
     mesh = make_mesh(8)
     sharded = sharded_fixed_base_msm(JUBJUB, table, jnp.asarray(bits), mesh)
+    single_aff = JUBJUB.unpack_points(np.asarray(single))
+    sharded_aff = JUBJUB.unpack_points(np.asarray(sharded))
+    assert list(single_aff) == list(sharded_aff)
+
+
+def test_sharded_msm_rns_matches_single_device(rng):
+    """The RNS fast-path sharded MSM returns the same limb points."""
+    from crypto_primitives_tpu.ops import curve_rns as cr
+
+    n = 32
+    pts = [JUBJUB.rand_point(rng) for _ in range(n)]
+    table = jnp.asarray(JUBJUB.pack_points(pts))
+    table_rns = jnp.asarray(cr.pack_points_rns(JUBJUB, pts))
+    bits = np.asarray([[rng.randrange(2) for _ in range(n)] for _ in range(3)], dtype=np.uint8)
+    single = cv.te_conditional_sum(JUBJUB, table, jnp.asarray(bits))
+    mesh = make_mesh(8)
+    sharded = sharded_fixed_base_msm_rns(JUBJUB, table_rns, jnp.asarray(bits), mesh)
     single_aff = JUBJUB.unpack_points(np.asarray(single))
     sharded_aff = JUBJUB.unpack_points(np.asarray(sharded))
     assert list(single_aff) == list(sharded_aff)
