@@ -41,6 +41,10 @@ class PedersenCommitmentParameters:
     def packed_randomness_rns(self) -> np.ndarray:
         return cr.pack_points_rns(self.curve, self.randomness_generator)
 
+    @functools.cache
+    def packed_randomness_grouped_rns(self, w: int = 3) -> np.ndarray:
+        return cr.pack_table_grouped(self.curve, self.randomness_generator, w)
+
     def crh_params(self) -> PedersenParameters:
         if not hasattr(self, "_crh_params"):
             self._crh_params = PedersenParameters(self.curve, self.generators)
@@ -87,9 +91,10 @@ class PedersenCommitment:
         Returns affine commitments (..., 2, L).
         """
         if cr.supports_rns(self.curve):
+            w = self.crh.GROUP_W
             msg = self.crh.evaluate_batch_rns(params.crh_params(), inputs)
-            blind = cr.te_conditional_sum_rns(
-                self.curve, params.packed_randomness_rns(), randomness
+            blind = cr.te_conditional_sum_grouped_rns(
+                self.curve, params.packed_randomness_grouped_rns(w), randomness, w
             )
             ext = cr.to_limb_points(
                 self.curve, cr.te_add_rns(self.curve, msg, blind)

@@ -57,6 +57,13 @@ class PedersenParameters:
         flat = [g for win in self.generators for g in win]
         return cr.pack_points_rns(self.curve, flat)
 
+    @functools.cache
+    def packed_grouped_rns(self, w: int = 3) -> np.ndarray:
+        """Windowed subset-sum tables (G, 2^w, 4, 2K) for the grouped
+        conditional sum (one select replaces w conditional additions)."""
+        flat = [g for win in self.generators for g in win]
+        return cr.pack_table_grouped(self.curve, flat, w)
+
     def __hash__(self):
         return id(self)
 
@@ -131,13 +138,17 @@ class PedersenCRH:
                     acc = self.curve.add_host(acc, base)
         return acc
 
+    GROUP_W = 3  # windowed-lookup width for the RNS conditional sum
+
     def evaluate_batch_rns(self, params: PedersenParameters, inputs: jnp.ndarray) -> jnp.ndarray:
         """inputs (..., nbytes) uint8 -> RNS extended digests (..., 4, 2K)
-        (the fast path: ops/curve_rns.py conditional-sum MSM)."""
+        (the fast path: ops/curve_rns.py grouped conditional-sum MSM)."""
         nbytes = inputs.shape[-1]
         assert nbytes * 8 <= self.input_size_bits
         bits = jnp.asarray(bytes_to_bits_batch(np.asarray(inputs), self.input_size_bits))
-        return cr.te_conditional_sum_rns(self.curve, params.packed_flat_rns(), bits)
+        return cr.te_conditional_sum_grouped_rns(
+            self.curve, params.packed_grouped_rns(self.GROUP_W), bits, self.GROUP_W
+        )
 
     def evaluate_batch_extended(self, params: PedersenParameters, inputs: jnp.ndarray) -> jnp.ndarray:
         """inputs (..., nbytes) uint8 -> extended digests (..., 4, L)."""

@@ -208,6 +208,63 @@ def te_conditional_sum_rns(
     return acc
 
 
+def pack_table_grouped(curve, pts, w: int = 3) -> np.ndarray:
+    """Host precompute for the windowed conditional sum: group the table
+    into w-point groups and tabulate all 2^w subset sums.
+
+    Returns (G, 2^w, 4, 2K) f32 with combos[g, e] = sum_{i: e>>i & 1}
+    pts[g*w + i] (identity at e=0); pts are padded to a multiple of w with
+    the identity.  Turns w conditional additions into one 2^w-way select
+    (the TPU shape of Pedersen's per-window sums,
+    reference src/crh/pedersen/mod.rs:113-124, with a w-bit lookup the
+    reference's per-bit loop doesn't need because CPU adds are cheap
+    relative to CPU selects — on the VPU the economics invert)."""
+    pts = list(pts)
+    ident = curve.zero_host()
+    while len(pts) % w:
+        pts.append(ident)
+    G = len(pts) // w
+    combos = []
+    for g in range(G):
+        grp = pts[g * w : (g + 1) * w]
+        subset = [ident]
+        for i in range(w):  # subset sums in index order: e = prev | 1<<i
+            subset += [curve.add_host(s, grp[i]) for s in subset]
+        combos.append(subset)
+    flat = [pt for grp in combos for pt in grp]
+    return pack_points_rns(curve, flat).reshape(G, 1 << w, 4, 2 * K)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 3, 4))
+def te_conditional_sum_grouped_rns(
+    curve, combos: jnp.ndarray, bits: jnp.ndarray, w: int = 3, chunk: int = 256
+) -> jnp.ndarray:
+    """sum_j bits[..., j] * table[j] via the grouped subset-sum tables of
+    :func:`pack_table_grouped` — one 2^w-way select + 1/w of the additions
+    of :func:`te_conditional_sum_rns`.  bits (..., N) are zero-padded to
+    G*w internally.  Returns (..., 4, 2K)."""
+    G = combos.shape[0]
+    batch = bits.shape[:-1]
+    n = bits.shape[-1]
+    if n < G * w:
+        bits = jnp.concatenate(
+            [bits, jnp.zeros(batch + (G * w - n,), bits.dtype)], axis=-1
+        )
+    grp_bits = bits.reshape(batch + (G, w)).astype(jnp.int32)
+    weights = jnp.asarray([1 << i for i in range(w)], jnp.int32)
+    idx = jnp.sum(grp_bits * weights, axis=-1)  # (..., G) in [0, 2^w)
+    acc = identity_rns(curve, batch)
+    for start in range(0, G, chunk):
+        end = min(start + chunk, G)
+        cb = combos[start:end]  # (C, 2^w, 4, 2K)
+        ix = idx[..., start:end]  # (..., C)
+        sel = jnp.broadcast_to(cb[:, 0], batch + (end - start, 4, 2 * K))
+        for e in range(1, 1 << w):
+            sel = jnp.where((ix == e)[..., None, None], cb[:, e], sel)
+        acc = te_add_rns(curve, acc, te_sum_rns(curve, sel))
+    return acc
+
+
 @functools.partial(jax.jit, static_argnums=(0,))
 def te_scalar_mul_bits_rns(
     curve, base_pt: jnp.ndarray, bits: jnp.ndarray

@@ -108,6 +108,29 @@ def test_conditional_sum_vs_limb_path(rng):
         assert limb_aff[i] == acc
 
 
+@pytest.mark.parametrize("w", [2, 3, 4])
+def test_grouped_conditional_sum_vs_plain(w, rng):
+    """Windowed subset-sum lookup == per-bit conditional sum == host, for
+    n not divisible by w (padding path) and small chunks."""
+    curve = JUBJUB
+    n, B = 29, 3
+    pts = [curve.rand_point(rng) for _ in range(n)]
+    bits_np = np.asarray(
+        [[rng.randrange(2) for _ in range(n)] for _ in range(B)], np.uint8
+    )
+    bits = jnp.asarray(bits_np)
+    combos = jnp.asarray(cr.pack_table_grouped(curve, pts, w))
+    assert combos.shape[:2] == (-(-n // w), 1 << w)
+    got = cr.te_conditional_sum_grouped_rns(curve, combos, bits, w, chunk=4)
+    got_aff = cr.unpack_points_rns(curve, np.asarray(got))
+    for i in range(B):
+        acc = curve.zero_host()
+        for j in range(n):
+            if bits_np[i, j]:
+                acc = curve.add_host(acc, pts[j])
+        assert got_aff[i] == acc
+
+
 def test_scalar_mul_bits_vs_host(rng):
     curve = JUBJUB
     pt = curve.rand_point(rng)
