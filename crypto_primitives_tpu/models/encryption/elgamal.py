@@ -65,14 +65,9 @@ class ElGamal:
         B = len(messages)
         rbits = jnp.asarray(self._scalars_to_bits(randomness))
         if cr.supports_rns(self.curve):
-            gen = jnp.asarray(cr.pack_points_rns(self.curve, params.generator))
-            pkd = jnp.asarray(cr.pack_points_rns(self.curve, pk))
-            c1 = cr.te_scalar_mul_bits_rns(
-                self.curve, jnp.broadcast_to(gen, (B,) + gen.shape), rbits
-            )
-            s = cr.te_scalar_mul_bits_rns(
-                self.curve, jnp.broadcast_to(pkd, (B,) + pkd.shape), rbits
-            )
+            # both bases are fixed across the batch: cached grouped tables
+            c1 = cr.te_fixed_base_mul_rns(self.curve, params.generator, rbits)
+            s = cr.te_fixed_base_mul_rns(self.curve, tuple(pk), rbits)
             msgs = jnp.asarray(cr.pack_points_rns(self.curve, list(messages)))
             c2 = cr.te_add_rns(self.curve, msgs, s)
             c1h = cr.unpack_points_rns(self.curve, np.asarray(c1))

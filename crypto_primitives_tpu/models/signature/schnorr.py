@@ -151,10 +151,10 @@ class Schnorr:
         s_bits = jnp.asarray(self._scalars_to_bits([s.prover_response for s in sigs]))
         e_bits = jnp.asarray(self._scalars_to_bits([s.verifier_challenge for s in sigs]))
         if cr.supports_rns(self.curve):
-            gen = jnp.asarray(cr.pack_points_rns(self.curve, params.generator))
-            gens = jnp.broadcast_to(gen, (B,) + gen.shape)
             pks_dev = jnp.asarray(cr.pack_points_rns(self.curve, list(pks)))
-            sg = cr.te_scalar_mul_bits_rns(self.curve, gens, s_bits)
+            # s*G is fixed-base (cached grouped doubling table); e*pk is
+            # variable-base double-and-add
+            sg = cr.te_fixed_base_mul_rns(self.curve, params.generator, s_bits)
             epk = cr.te_scalar_mul_bits_rns(self.curve, pks_dev, e_bits)
             r_primes = cr.unpack_points_rns(
                 self.curve, np.asarray(cr.te_add_rns(self.curve, sg, epk))

@@ -265,6 +265,32 @@ def te_conditional_sum_grouped_rns(
     return acc
 
 
+@functools.lru_cache(maxsize=64)
+def fixed_base_grouped_table(curve, pt: tuple, nbits: int, w: int = 3) -> np.ndarray:
+    """Doubling-powers subset-sum table for a FIXED host base point:
+    groups of w consecutive 2^j*P powers tabulated as 2^w combos.  With
+    this, k*P costs G = ceil(nbits/w) grouped selects + ~2G additions
+    instead of nbits doublings + nbits conditional additions — the same
+    precomputation arkworks burns into Pedersen's per-window tables
+    (reference src/crh/pedersen/mod.rs:48-56), applied to Schnorr's s*G
+    and ElGamal's r*G / r*pk."""
+    powers = []
+    base = pt
+    for _ in range(nbits):
+        powers.append(base)
+        base = curve.double_host(base)
+    return pack_table_grouped(curve, powers, w)
+
+
+def te_fixed_base_mul_rns(
+    curve, pt: tuple, bits: jnp.ndarray, w: int = 3
+) -> jnp.ndarray:
+    """pt (host affine tuple) times scalars given as bits (..., NBITS)
+    LSB-first, via the cached grouped doubling table."""
+    table = fixed_base_grouped_table(curve, tuple(pt), bits.shape[-1], w)
+    return te_conditional_sum_grouped_rns(curve, jnp.asarray(table), bits, w)
+
+
 @functools.partial(jax.jit, static_argnums=(0,))
 def te_scalar_mul_bits_rns(
     curve, base_pt: jnp.ndarray, bits: jnp.ndarray

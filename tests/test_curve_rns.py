@@ -142,6 +142,20 @@ def test_scalar_mul_bits_vs_host(rng):
     assert cr.unpack_points_rns(curve, np.asarray(got)) == curve.scalar_mul_host(pt, k)
 
 
+def test_fixed_base_mul_vs_host(rng):
+    curve = JUBJUB
+    pt = curve.rand_point(rng)
+    ks = [rng.randrange(curve.scalar.p) for _ in range(3)] + [0, 1]
+    nbits = curve.scalar.p.bit_length()
+    bits = jnp.asarray(
+        [[(k >> i) & 1 for i in range(nbits)] for k in ks], jnp.uint8
+    )
+    got = cr.te_fixed_base_mul_rns(curve, pt, bits)
+    aff = cr.unpack_points_rns(curve, np.asarray(got))
+    for i, k in enumerate(ks):
+        assert aff[i] == curve.scalar_mul_host(pt, k), k
+
+
 def test_to_limb_points_device_conversion(rng):
     """RNS -> Montgomery-limb conversion on device matches the limb tier
     bit-for-bit (canonical limbs of identical field values)."""
