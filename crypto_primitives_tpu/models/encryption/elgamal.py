@@ -93,7 +93,7 @@ class ElGamal:
         if cr.supports_rns(self.curve):
             c1 = jnp.asarray(cr.pack_points_rns(self.curve, [c[0] for c in ciphertexts]))
             c2 = jnp.asarray(cr.pack_points_rns(self.curve, [c[1] for c in ciphertexts]))
-            s = cr.te_scalar_mul_bits_rns(self.curve, c1, sk_bits)
+            s = cr.te_scalar_mul_bits_windowed_rns(self.curve, c1, sk_bits)
             m = cr.te_add_rns(self.curve, c2, cr.te_neg_rns(self.curve, s))
             mh = cr.unpack_points_rns(self.curve, np.asarray(m))
             return [tuple(mh[i]) for i in range(B)]

@@ -155,7 +155,7 @@ class Schnorr:
             # s*G is fixed-base (cached grouped doubling table); e*pk is
             # variable-base double-and-add
             sg = cr.te_fixed_base_mul_rns(self.curve, params.generator, s_bits)
-            epk = cr.te_scalar_mul_bits_rns(self.curve, pks_dev, e_bits)
+            epk = cr.te_scalar_mul_bits_windowed_rns(self.curve, pks_dev, e_bits)
             r_primes = cr.unpack_points_rns(
                 self.curve, np.asarray(cr.te_add_rns(self.curve, sg, epk))
             )

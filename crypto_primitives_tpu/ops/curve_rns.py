@@ -311,6 +311,50 @@ def te_scalar_mul_bits_rns(
     return acc
 
 
+@functools.partial(jax.jit, static_argnums=(0, 3))
+def te_scalar_mul_bits_windowed_rns(
+    curve, base_pt: jnp.ndarray, bits: jnp.ndarray, w: int = 4
+) -> jnp.ndarray:
+    """Windowed variable-base scalar mul: build the per-element table
+    [0..2^w)*P on device (2^w - 2 additions), then scan MSB-first windows
+    with w doublings + one table select + one addition each —
+    2^w - 2 + ceil(NB/w)*(w+1) additions vs 2*NB for plain
+    double-and-add (~1.5x fewer at NB=253, w=4)."""
+    nbits = bits.shape[-1]
+    batch = base_pt.shape[:-2]
+    pad = (-nbits) % w
+    if pad:
+        bits = jnp.concatenate(
+            [bits, jnp.zeros(bits.shape[:-1] + (pad,), bits.dtype)], axis=-1
+        )
+        nbits += pad
+    G = nbits // w
+    # table T[e] = e*P, shape (2^w, ..., 4, 2K)
+    rows = [identity_rns(curve, batch), base_pt]
+    for _ in range(2, 1 << w):
+        rows.append(te_add_rns(curve, rows[-1], base_pt))
+    table = jnp.stack(rows, axis=0)
+    # window values, MSB-first: window g covers bits [nbits-(g+1)w, nbits-gw)
+    weights = jnp.asarray([1 << i for i in range(w)], jnp.int32)
+    vals = jnp.sum(
+        bits.reshape(bits.shape[:-1] + (G, w)).astype(jnp.int32) * weights,
+        axis=-1,
+    )  # (..., G) LSB-group-first
+    vals_scan = jnp.moveaxis(vals, -1, 0)[::-1]  # (G, ...) MSB-first
+
+    def body(acc, v):
+        for _ in range(w):
+            acc = te_add_rns(curve, acc, acc)
+        sel = table[0]
+        for e in range(1, 1 << w):
+            sel = te_select_rns(v == e, table[e], sel)
+        return te_add_rns(curve, acc, sel), None
+
+    acc0 = identity_rns(curve, batch)
+    acc, _ = jax.lax.scan(body, acc0, vals_scan)
+    return acc
+
+
 @functools.partial(jax.jit, static_argnums=(0,))
 def to_limb_points(curve, pts: jnp.ndarray) -> jnp.ndarray:
     """RNS extended points (..., 4, 2K) -> canonical Montgomery uint32 limb

@@ -142,6 +142,22 @@ def test_scalar_mul_bits_vs_host(rng):
     assert cr.unpack_points_rns(curve, np.asarray(got)) == curve.scalar_mul_host(pt, k)
 
 
+@pytest.mark.parametrize("w", [2, 4])
+def test_scalar_mul_windowed_vs_host(w, rng):
+    curve = JUBJUB
+    pts = [curve.rand_point(rng) for _ in range(2)]
+    ks = [rng.randrange(curve.scalar.p), 1]
+    nbits = curve.scalar.p.bit_length()
+    bits = jnp.asarray(
+        [[(k >> i) & 1 for i in range(nbits)] for k in ks], jnp.uint8
+    )
+    dev = jnp.asarray(cr.pack_points_rns(curve, pts))
+    got = cr.te_scalar_mul_bits_windowed_rns(curve, dev, bits, w)
+    aff = cr.unpack_points_rns(curve, np.asarray(got))
+    for i in range(2):
+        assert aff[i] == curve.scalar_mul_host(pts[i], ks[i])
+
+
 def test_fixed_base_mul_vs_host(rng):
     curve = JUBJUB
     pt = curve.rand_point(rng)
