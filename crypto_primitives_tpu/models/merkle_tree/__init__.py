@@ -53,6 +53,34 @@ class FieldDigestDomain:
         return int(a) == int(b)
 
 
+class PointDigestDomain:
+    """Digests are TE affine points (the reference's primary byte-tree
+    config, src/merkle_tree/tests/mod.rs:5-50: Pedersen leaf + inner over
+    JubJub): rows (2, L) uint32 Montgomery (x, y); host = (x, y) tuple."""
+
+    def __init__(self, curve):
+        self.curve = curve
+
+    def default_host(self):
+        return self.curve.zero_host()  # Affine::default() = identity (0, 1)
+
+    def zeros(self, n: int) -> np.ndarray:
+        L = self.curve.base.num_limbs
+        return np.tile(
+            np.asarray(self.curve.base.pack([0, 1]), dtype=np.uint32), (n, 1, 1)
+        ).reshape(n, 2, L)
+
+    def to_host(self, row: np.ndarray):
+        x, y = self.curve.base.unpack(np.asarray(row))
+        return (int(x), int(y))
+
+    def from_host(self, value) -> np.ndarray:
+        return np.asarray(self.curve.base.pack([int(value[0]), int(value[1])]))
+
+    def eq_host(self, a, b) -> bool:
+        return tuple(int(v) for v in a) == tuple(int(v) for v in b)
+
+
 class ByteDigestDomain:
     """Digests are fixed-width byte strings: rows (W,) uint8; host = bytes."""
 
@@ -109,6 +137,27 @@ class ByteDigestConverter:
     def convert_batch(self, arr: jnp.ndarray) -> jnp.ndarray:
         prefix = jnp.broadcast_to(jnp.asarray(self._prefix), arr.shape[:-1] + (8,))
         return jnp.concatenate([prefix, arr], axis=-1)
+
+
+class PointToBytesDigestConverter:
+    """`to_uncompressed_bytes!` of a TE affine point digest: x || y bigint
+    LE bytes, no flags (the ByteDigestConverter instantiation the reference
+    byte tree uses, src/merkle_tree/tests/mod.rs:30-38 over
+    src/merkle_tree/mod.rs:67-78)."""
+
+    def __init__(self, curve):
+        self.curve = curve
+
+    def convert(self, host_digest) -> bytes:
+        return self.curve.to_uncompressed_bytes(host_digest)
+
+    def convert_batch(self, rows: jnp.ndarray) -> jnp.ndarray:
+        """(..., 2, L) Montgomery affine -> (..., 2*bigint_bytes) uint8."""
+        from crypto_primitives_tpu.models.crh.pedersen import (
+            _affine_to_uncompressed_bytes_batch,
+        )
+
+        return _affine_to_uncompressed_bytes_batch(self.curve, rows)
 
 
 class FieldToBytesDigestConverter:

@@ -420,3 +420,97 @@ def poseidon_rns_device_tree(spec, config, leaf_elements) -> DeviceMerkleTree:
         leaf_hash, compress, leaf_elements, to_host,
         compress_level_batch=compress_level,
     )
+
+
+# --------------------------------------------------------------------------
+# Pedersen byte tree, RNS-resident (the reference's primary byte-tree
+# config, src/merkle_tree/tests/mod.rs:5-50: Pedersen leaf + inner over a
+# TE curve, ByteDigestConverter = x||y uncompressed bytes)
+# --------------------------------------------------------------------------
+
+
+def _bits_dev(data: jnp.ndarray, nbits: int) -> jnp.ndarray:
+    """jnp twin of crh.pedersen.bytes_to_bits_batch (LE per byte), usable
+    under jit: (..., NB) uint8 -> (..., nbits) uint8."""
+    b = data.astype(jnp.uint8)
+    bits = (b[..., None] >> jnp.arange(8, dtype=jnp.uint8)) & jnp.uint8(1)
+    bits = bits.reshape(b.shape[:-1] + (b.shape[-1] * 8,))
+    if bits.shape[-1] < nbits:
+        bits = jnp.concatenate(
+            [bits, jnp.zeros(bits.shape[:-1] + (nbits - bits.shape[-1],), jnp.uint8)],
+            axis=-1,
+        )
+    return bits
+
+
+def _std_limbs_to_bytes(limbs: jnp.ndarray, nbytes: int) -> jnp.ndarray:
+    """(..., L) standard-form uint32 16-bit limbs -> (..., nbytes) uint8 LE."""
+    lo = (limbs & 0xFF).astype(jnp.uint8)
+    hi = ((limbs >> 8) & 0xFF).astype(jnp.uint8)
+    by = jnp.stack([lo, hi], axis=-1).reshape(limbs.shape[:-1] + (2 * limbs.shape[-1],))
+    return by[..., :nbytes]
+
+
+def pedersen_device_tree(
+    curve, leaf_params, two_params, leaf_window, two_window, leaves: jnp.ndarray
+) -> DeviceMerkleTree:
+    """leaves: (n, LB) uint8.  Digest rows are the x||y uncompressed bytes
+    (2*bigint_bytes,) of affine Pedersen outputs; the whole build runs on
+    the RNS fast path (grouped conditional-sum MSM + RNS Fermat
+    normalization), one compiled program per tree.  Host digests (root(),
+    Path fields) are affine (x, y) tuples, interoperable with the generic
+    MerkleTree's PointDigestDomain config."""
+    from crypto_primitives_tpu.models.crh.pedersen import PedersenCRH
+    from crypto_primitives_tpu.ops import curve_rns as cr
+
+    crh = PedersenCRH(curve, leaf_window)
+    w = crh.GROUP_W
+    leaf_table = leaf_params.packed_grouped_rns(w)
+    two_table = two_params.packed_grouped_rns(w)
+    leaf_bits = crh.input_size_bits
+    two_bits = two_window.window_size * two_window.num_windows
+    nbytes = 2 * curve.base.bigint_bytes
+    assert 2 * nbytes * 8 <= two_bits, "two-to-one window too small for digests"
+
+    def _digest_bytes(acc_rns):
+        aff = cr.te_to_affine_rns(curve, acc_rns)  # (..., 2, 2K)
+        std = cr.to_std_limbs(curve, aff)  # (..., 2, L) standard form
+        return _std_limbs_to_bytes(std, curve.base.bigint_bytes).reshape(
+            std.shape[:-2] + (nbytes,)
+        )
+
+    @jax.jit
+    def leaf_hash(lv):
+        acc = cr.te_conditional_sum_grouped_rns(
+            curve, leaf_table, _bits_dev(lv, leaf_bits), w
+        )
+        return _digest_bytes(acc)
+
+    @jax.jit
+    def compress(l, r):
+        buf = jnp.concatenate([l, r], axis=-1)
+        acc = cr.te_conditional_sum_grouped_rns(
+            curve, two_table, _bits_dev(buf, two_bits), w
+        )
+        return _digest_bytes(acc)
+
+    @jax.jit
+    def compress_level(cur):
+        # contiguous pairing: children of node i are adjacent rows, so the
+        # l||r byte concatenation is a free reshape (PERFORMANCE.md)
+        buf = cur.reshape(cur.shape[0] // 2, 2 * cur.shape[1])
+        acc = cr.te_conditional_sum_grouped_rns(
+            curve, two_table, _bits_dev(buf, two_bits), w
+        )
+        return _digest_bytes(acc)
+
+    cb = curve.base.bigint_bytes
+
+    def to_host(row) -> tuple:
+        b = bytes(np.asarray(row).astype(np.uint8))
+        return (
+            int.from_bytes(b[:cb], "little"),
+            int.from_bytes(b[cb : 2 * cb], "little"),
+        )
+
+    return DeviceMerkleTree.build(leaf_hash, compress, leaves, to_host)

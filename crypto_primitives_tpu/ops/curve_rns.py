@@ -356,6 +356,24 @@ def te_scalar_mul_bits_windowed_rns(
 
 
 @functools.partial(jax.jit, static_argnums=(0,))
+def te_to_affine_rns(curve, pts: jnp.ndarray) -> jnp.ndarray:
+    """Normalize Z -> 1 fully in RNS (Fermat inversion, ~2 muls/bit over
+    the whole batch at once); returns (..., 2, 2K) affine (x, y)."""
+    f = curve_field(curve)
+    Z = pts[..., 3, :]
+    Zi, bz = f.inv(Z, BOUND)
+    xy, _ = f.mul(pts[..., 0:2, :], BOUND, Zi[..., None, :], bz)
+    return xy
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2))
+def to_std_limbs(curve, vals: jnp.ndarray, bound: int = BOUND) -> jnp.ndarray:
+    """RNS field rows (..., 2K) -> standard-form uint32 limbs (..., L)."""
+    f = curve_field(curve)
+    return rns_xla.to_mont_limbs(f.plan, curve.base, vals, bound, mont=False)
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
 def to_limb_points(curve, pts: jnp.ndarray) -> jnp.ndarray:
     """RNS extended points (..., 4, 2K) -> canonical Montgomery uint32 limb
     points (..., 4, L) (ops/curve.py representation), on device."""

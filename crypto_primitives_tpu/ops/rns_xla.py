@@ -240,6 +240,26 @@ class RnsField:
         one = self.pack(1).astype(np.float32)
         return self.mul(a, ba, jnp.broadcast_to(one, a.shape), 1)
 
+    def pow_const(self, a, ba: int, e: int):
+        """a^e for a static exponent (square-and-multiply scan; ~2 muls
+        per exponent bit, bounds closed at 3*3 <= M1//p)."""
+        assert e >= 1 and ba <= self.MUL_OUT
+        bits = np.asarray(
+            [int(b) for b in bin(e)[2:]], np.int32
+        )  # MSB-first, leading 1
+
+        def body(acc, bit):
+            sq, _ = self.mul(acc, self.MUL_OUT, acc, self.MUL_OUT)
+            withm, _ = self.mul(sq, self.MUL_OUT, a, self.MUL_OUT)
+            return jnp.where(bit != 0, withm, sq), None
+
+        acc, _ = jax.lax.scan(body, a, jnp.asarray(bits[1:]))
+        return acc, self.MUL_OUT
+
+    def inv(self, a, ba: int):
+        """a^{p-2} (Fermat); a must be nonzero mod p."""
+        return self.pow_const(a, ba, self.plan.p - 2)
+
 
 # ----------------------------------------------------------------------
 # Device RNS -> Montgomery-limb conversion (for ops/field.py interop)
@@ -247,10 +267,10 @@ class RnsField:
 
 
 @functools.cache
-def _crt_limb_consts(plan: rns.RNSPlan, spec) -> tuple:
+def _crt_limb_consts(plan: rns.RNSPlan, spec, mont: bool = True) -> tuple:
     """Constants for to_mont_limbs: per-residue CRT scalars and the
-    (K+1, L) limb matrix of D_j = (M1/m_j)*M1^{-1}*R^2 mod p rows plus the
-    F = -R^2 mod p lambda row (see to_mont_limbs)."""
+    (K+1, L) limb matrix of D_j = (M1/m_j)*M1^{-1}*R^{1+mont} mod p rows
+    plus the F = -R^{1+mont} mod p lambda row (see to_mont_limbs)."""
     p = plan.p
     assert spec.p == p
     R = 1 << (16 * spec.num_limbs)
@@ -262,20 +282,24 @@ def _crt_limb_consts(plan: rns.RNSPlan, spec) -> tuple:
         [round(2.0**LAM_SHIFT / int(m)) * 2.0**-LAM_SHIFT for m in plan.m1],
         np.float32,
     )
-    # spec.pack already applies the R Montgomery factor, so bake only one
-    # more R here: packed rows hold D_j*R^2 and mont_dot's R^{-1} leaves
-    # the result in Montgomery form (x*R).
+    # spec.pack already applies the R Montgomery factor; mont_dot divides
+    # by R.  With one extra R baked in (mont=True) the result lands in
+    # Montgomery form (x*R); without it (mont=False) in standard form.
+    extra = R % p if mont else 1
     rows = [
-        spec.pack([(plan.M1 // int(m)) % p * invM1 % p * R % p])[0]
+        spec.pack([(plan.M1 // int(m)) % p * invM1 % p * extra % p])[0]
         for m in plan.m1
     ]
-    rows.append(spec.pack([(-1) % p * R % p])[0])
+    rows.append(spec.pack([(-1) % p * extra % p])[0])
     # numpy (not jnp): cached constants must never capture jit tracers
     return ic, lam_w, np.stack(rows).astype(np.uint32)
 
 
-def to_mont_limbs(plan: rns.RNSPlan, spec, a: jnp.ndarray, bound: int) -> jnp.ndarray:
-    """RNS residues (..., 2K) -> canonical Montgomery uint32 limbs (..., L).
+def to_mont_limbs(
+    plan: rns.RNSPlan, spec, a: jnp.ndarray, bound: int, mont: bool = True
+) -> jnp.ndarray:
+    """RNS residues (..., 2K) -> canonical uint32 limbs (..., L), in
+    Montgomery form by default (mont=False: standard form).
 
     Kawamura CRT on device: canonicalize base-1 residues, form
     c_j = s_j * (M1/m_j)^{-1} mod m_j, estimate lambda = floor(sum c_j/m_j)
@@ -287,7 +311,7 @@ def to_mont_limbs(plan: rns.RNSPlan, spec, a: jnp.ndarray, bound: int) -> jnp.nd
 
     c = plan_consts(plan)
     assert bound * plan.p < 0.4 * plan.M1, "value too large for exact CRT"
-    ic, lam_w, rows = _crt_limb_consts(plan, spec)
+    ic, lam_w, rows = _crt_limb_consts(plan, spec, mont)
     s = a[..., :K]
     s = s - c.m1 * (s >= c.m1)  # [0, 2m) -> [0, m)
     cj = _red(s * ic, c.inv_m1, c.m1)
