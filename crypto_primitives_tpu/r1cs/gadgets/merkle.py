@@ -151,3 +151,82 @@ class PathVar:
             leaf_hash_gadget, two_to_one_gadget, old_root, old_leaf, new_leaf
         )
         return updated.is_eq(new_root)
+
+
+class PointPathVar:
+    """Point-digest Merkle path variable — the reference's PRIMARY merkle
+    constraint configuration (src/merkle_tree/tests/constraints.rs:17-54:
+    Pedersen leaf + two-to-one gadgets over JubJub, digests are TE affine
+    vars, leaf->inner conversion serializes coordinates to bytes, which
+    `PedersenTwoToOneCRHGadget.compress` performs in-circuit)."""
+
+    def __init__(self, cs, path, auth_path, leaf_sibling, leaf_is_right_child):
+        self.cs = cs
+        self.path = path  # Booleans, top-down
+        self.auth_path = auth_path  # TEAffineVars, root->leaf
+        self.leaf_sibling = leaf_sibling  # TEAffineVar
+        self.leaf_is_right_child = leaf_is_right_child
+
+    @classmethod
+    def new_witness(cls, cs, curve, native_path) -> "PointPathVar":
+        from crypto_primitives_tpu.r1cs.gadgets.curve import TEAffineVar
+
+        pos = native_path.position_list()
+        path_bits = [Boolean.new_witness(cs, b) for b in pos[:-1]]
+        leaf_is_right = Boolean.new_witness(cs, pos[-1])
+        auth = [
+            TEAffineVar.new_witness(cs, curve, d) for d in native_path.auth_path
+        ]
+        sib = TEAffineVar.new_witness(cs, curve, native_path.leaf_sibling_hash)
+        return cls(cs, path_bits, auth, sib, leaf_is_right)
+
+    def calculate_root(self, leaf_params, two_params, leaf_hash_gadget,
+                       two_to_one_gadget, leaf_bytes):
+        """constraints.rs:182-223 over point digests; `compress` converts
+        digests to x||y bytes in-circuit (the PointToBytes converter)."""
+        from crypto_primitives_tpu.r1cs.gadgets.curve import TEAffineVar
+
+        cs = self.cs
+        claimed = leaf_hash_gadget.evaluate(cs, leaf_params, leaf_bytes)
+        left = TEAffineVar.select(self.leaf_is_right_child, self.leaf_sibling, claimed)
+        right = TEAffineVar.select(self.leaf_is_right_child, claimed, self.leaf_sibling)
+        curr = two_to_one_gadget.compress(cs, two_params, left, right)
+        for level in range(len(self.auth_path) - 1, -1, -1):
+            bit = self.path[level]
+            sibling = self.auth_path[level]
+            left = TEAffineVar.select(bit, sibling, curr)
+            right = TEAffineVar.select(bit, curr, sibling)
+            curr = two_to_one_gadget.compress(cs, two_params, left, right)
+        return curr
+
+    def verify_membership(self, leaf_params, two_params, leaf_hash_gadget,
+                          two_to_one_gadget, root, leaf_bytes) -> Boolean:
+        got = self.calculate_root(
+            leaf_params, two_params, leaf_hash_gadget, two_to_one_gadget, leaf_bytes
+        )
+        return got.is_eq(root)
+
+    def update_leaf(self, leaf_params, two_params, leaf_hash_gadget,
+                    two_to_one_gadget, old_root, old_leaf_bytes, new_leaf_bytes):
+        """constraints.rs:239-256: enforce the old leaf's membership, then
+        return the updated root."""
+        ok = self.verify_membership(
+            leaf_params, two_params, leaf_hash_gadget, two_to_one_gadget,
+            old_root, old_leaf_bytes,
+        )
+        one = FpVar.constant(self.cs, 1)
+        ok.fp.enforce_equal(one)
+        return self.calculate_root(
+            leaf_params, two_params, leaf_hash_gadget, two_to_one_gadget,
+            new_leaf_bytes,
+        )
+
+    def update_and_check(self, leaf_params, two_params, leaf_hash_gadget,
+                         two_to_one_gadget, old_root, new_root,
+                         old_leaf_bytes, new_leaf_bytes) -> Boolean:
+        """constraints.rs:259-272."""
+        updated = self.update_leaf(
+            leaf_params, two_params, leaf_hash_gadget, two_to_one_gadget,
+            old_root, old_leaf_bytes, new_leaf_bytes,
+        )
+        return updated.is_eq(new_root)

@@ -10,12 +10,15 @@ cd "$(dirname "$0")"
 echo "== fast tier =="
 timeout 540 python -m pytest tests/ -q -m "not slow"
 if [ "$1" = "--fast" ]; then exit 0; fi
-echo "== slow tier 1/3: pedersen =="
-timeout 540 python -m pytest tests/test_pedersen.py -q
-echo "== slow tier 2/3: parallel + pallas =="
+echo "== slow tier 1/4: pedersen + pedersen merkle =="
+timeout 540 python -m pytest tests/test_pedersen.py tests/test_merkle_pedersen.py -q
+echo "== slow tier 2/4: parallel + pallas =="
 timeout 540 python -m pytest tests/test_parallel.py tests/test_poseidon_pallas.py -q
-echo "== slow tier 3/3: remaining slow marks =="
+echo "== slow tier 3/4: curve rns =="
+timeout 540 python -m pytest tests/test_curve_rns.py -q
+echo "== slow tier 4/4: remaining slow marks =="
 timeout 540 python -m pytest tests/ -q -m "slow" \
   --ignore=tests/test_pedersen.py --ignore=tests/test_parallel.py \
-  --ignore=tests/test_poseidon_pallas.py
+  --ignore=tests/test_poseidon_pallas.py --ignore=tests/test_curve_rns.py \
+  --ignore=tests/test_merkle_pedersen.py
 echo "ALL TIERS GREEN"

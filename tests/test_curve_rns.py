@@ -19,6 +19,9 @@ from crypto_primitives_tpu.ops import rns, rns_xla
 from crypto_primitives_tpu.ops.curves_known import ED_ON_BLS12_377, JUBJUB
 
 
+pytestmark = pytest.mark.slow  # device-oracle fuzz tier (run_tests.sh)
+
+
 @pytest.fixture(scope="module")
 def rng():
     return random.Random(20260818)

@@ -27,6 +27,8 @@ from crypto_primitives_tpu.ops.curves_known import JUBJUB
 
 LEAF_BYTES = 8
 
+pytestmark = pytest.mark.slow  # device-oracle fuzz tier (run_tests.sh)
+
 
 @pytest.fixture(scope="module")
 def setup():
@@ -135,3 +137,59 @@ def test_pedersen_device_tree_matches_generic(setup):
         for a, b in zip(p_dev.auth_path, p_gen.auth_path):
             assert cfg.inner_domain.eq_host(a, b)
         assert p_dev.verify(cfg, leaf_params, two_params, dev.root(), leaves[i])
+
+
+@pytest.mark.slow
+def test_pedersen_point_path_gadget(setup):
+    """Native-vs-gadget parity for the Pedersen point-digest path — the
+    reference's primary merkle constraint config
+    (src/merkle_tree/tests/constraints.rs:17-147), incl. bad-root twin."""
+    from crypto_primitives_tpu.r1cs.cs import ConstraintSystem
+    from crypto_primitives_tpu.r1cs.device_check import check_satisfied_device
+    from crypto_primitives_tpu.r1cs.gadgets.curve import TEAffineVar
+    from crypto_primitives_tpu.r1cs.gadgets.merkle import PointPathVar
+    from crypto_primitives_tpu.r1cs.gadgets.pedersen import (
+        PedersenCRHGadget,
+        PedersenTwoToOneCRHGadget,
+    )
+    from crypto_primitives_tpu.r1cs.vars import FpVar, UInt8
+    from crypto_primitives_tpu.ops.fields_known import BLS12_381_FR as FR
+
+    rng, cfg, leaf_params, two_params = setup
+    n = 4
+    leaves = [bytes(rng.randrange(256) for _ in range(LEAF_BYTES)) for _ in range(n)]
+    dev_leaves = jnp.asarray(
+        np.frombuffer(b"".join(leaves), np.uint8).reshape(n, LEAF_BYTES)
+    )
+    tree = MerkleTree.new(cfg, leaf_params, two_params, dev_leaves)
+    root = tree.root()
+    leaf_g = PedersenCRHGadget(JUBJUB, Window(4, LEAF_BYTES * 2))
+    two_g = PedersenTwoToOneCRHGadget(JUBJUB, Window(4, 256))
+
+    for i in (3,):  # one path: the 1024-bit compress circuits dominate runtime
+        proof = tree.generate_proof(i)
+        assert proof.verify(cfg, leaf_params, two_params, root, leaves[i])
+        cs = ConstraintSystem(FR)
+        pv = PointPathVar.new_witness(cs, JUBJUB, proof)
+        root_var = TEAffineVar.new_input(cs, JUBJUB, root)
+        leaf_vars = [UInt8.new_witness(cs, b) for b in leaves[i]]
+        ok = pv.verify_membership(
+            leaf_params, two_params, leaf_g, two_g, root_var, leaf_vars
+        )
+        assert ok.value is True
+        ok.fp.enforce_equal(FpVar.constant(cs, 1))
+        assert cs.is_satisfied()
+        assert check_satisfied_device(cs)
+
+    # bad root: circuit unsatisfied once enforced (should_panic twin)
+    proof = tree.generate_proof(1)
+    cs = ConstraintSystem(FR)
+    pv = PointPathVar.new_witness(cs, JUBJUB, proof)
+    bad = TEAffineVar.new_input(cs, JUBJUB, (root[0], (root[1] + 1) % JUBJUB.base.p))
+    leaf_vars = [UInt8.new_witness(cs, b) for b in leaves[1]]
+    ok = pv.verify_membership(
+        leaf_params, two_params, leaf_g, two_g, bad, leaf_vars
+    )
+    assert ok.value is False
+    ok.fp.enforce_equal(FpVar.constant(cs, 1))
+    assert not cs.is_satisfied()
