@@ -45,6 +45,20 @@ class PedersenCommitmentParameters:
     def packed_randomness_grouped_rns(self, w: int = 3) -> np.ndarray:
         return cr.pack_table_grouped(self.curve, self.randomness_generator, w)
 
+    @functools.cache
+    def packed_randomness_grouped_kernel(self, w: int = 3) -> np.ndarray:
+        from crypto_primitives_tpu.ops import msm_rns_pallas as mk
+
+        return mk.pack_combos_kernel(self.curve, self.randomness_generator, w)
+
+    # adapter so conditional_sum_grouped_auto can treat the blinding table
+    # like a params object
+    def packed_grouped_rns(self, w: int = 3):
+        return self.packed_randomness_grouped_rns(w)
+
+    def packed_grouped_kernel(self, w: int = 3):
+        return self.packed_randomness_grouped_kernel(w)
+
     def crh_params(self) -> PedersenParameters:
         if not hasattr(self, "_crh_params"):
             self._crh_params = PedersenParameters(self.curve, self.generators)
@@ -93,8 +107,8 @@ class PedersenCommitment:
         if cr.supports_rns(self.curve):
             w = self.crh.GROUP_W
             msg = self.crh.evaluate_batch_rns(params.crh_params(), inputs)
-            blind = cr.te_conditional_sum_grouped_rns(
-                self.curve, params.packed_randomness_grouped_rns(w), randomness, w
+            blind = cr.conditional_sum_grouped_auto(
+                self.curve, params, randomness, w
             )
             ext = cr.to_limb_points(
                 self.curve, cr.te_add_rns(self.curve, msg, blind)

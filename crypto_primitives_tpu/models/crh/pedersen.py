@@ -64,6 +64,15 @@ class PedersenParameters:
         flat = [g for win in self.generators for g in win]
         return cr.pack_table_grouped(self.curve, flat, w)
 
+    @functools.cache
+    def packed_grouped_kernel(self, w: int = 3) -> np.ndarray:
+        """Same tables in the fused Pallas kernel layout (digit planes,
+        twisted residues, d folded into T; ops/msm_rns_pallas.py)."""
+        from crypto_primitives_tpu.ops import msm_rns_pallas as mk
+
+        flat = [g for win in self.generators for g in win]
+        return mk.pack_combos_kernel(self.curve, flat, w)
+
     def __hash__(self):
         return id(self)
 
@@ -146,9 +155,7 @@ class PedersenCRH:
         nbytes = inputs.shape[-1]
         assert nbytes * 8 <= self.input_size_bits
         bits = jnp.asarray(bytes_to_bits_batch(np.asarray(inputs), self.input_size_bits))
-        return cr.te_conditional_sum_grouped_rns(
-            self.curve, params.packed_grouped_rns(self.GROUP_W), bits, self.GROUP_W
-        )
+        return cr.conditional_sum_grouped_auto(self.curve, params, bits, self.GROUP_W)
 
     def evaluate_batch_extended(self, params: PedersenParameters, inputs: jnp.ndarray) -> jnp.ndarray:
         """inputs (..., nbytes) uint8 -> extended digests (..., 4, L)."""

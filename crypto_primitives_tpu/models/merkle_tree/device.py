@@ -465,8 +465,6 @@ def pedersen_device_tree(
 
     crh = PedersenCRH(curve, leaf_window)
     w = crh.GROUP_W
-    leaf_table = leaf_params.packed_grouped_rns(w)
-    two_table = two_params.packed_grouped_rns(w)
     leaf_bits = crh.input_size_bits
     two_bits = two_window.window_size * two_window.num_windows
     nbytes = 2 * curve.base.bigint_bytes
@@ -481,16 +479,16 @@ def pedersen_device_tree(
 
     @jax.jit
     def leaf_hash(lv):
-        acc = cr.te_conditional_sum_grouped_rns(
-            curve, leaf_table, _bits_dev(lv, leaf_bits), w
+        acc = cr.conditional_sum_grouped_auto(
+            curve, leaf_params, _bits_dev(lv, leaf_bits), w
         )
         return _digest_bytes(acc)
 
     @jax.jit
     def compress(l, r):
         buf = jnp.concatenate([l, r], axis=-1)
-        acc = cr.te_conditional_sum_grouped_rns(
-            curve, two_table, _bits_dev(buf, two_bits), w
+        acc = cr.conditional_sum_grouped_auto(
+            curve, two_params, _bits_dev(buf, two_bits), w
         )
         return _digest_bytes(acc)
 
@@ -499,8 +497,8 @@ def pedersen_device_tree(
         # contiguous pairing: children of node i are adjacent rows, so the
         # l||r byte concatenation is a free reshape (PERFORMANCE.md)
         buf = cur.reshape(cur.shape[0] // 2, 2 * cur.shape[1])
-        acc = cr.te_conditional_sum_grouped_rns(
-            curve, two_table, _bits_dev(buf, two_bits), w
+        acc = cr.conditional_sum_grouped_auto(
+            curve, two_params, _bits_dev(buf, two_bits), w
         )
         return _digest_bytes(acc)
 

@@ -235,6 +235,31 @@ def pack_table_grouped(curve, pts, w: int = 3) -> np.ndarray:
     return pack_points_rns(curve, flat).reshape(G, 1 << w, 4, 2 * K)
 
 
+def grouped_kernel_ok(curve) -> bool:
+    """The fused Pallas MSM kernel requires a real TPU backend and the
+    a = -1 specialization (both known TE curves qualify)."""
+    return (
+        jax.default_backend() == "tpu"
+        and curve.a == curve.base.p - 1
+        and supports_rns(curve)
+    )
+
+
+def conditional_sum_grouped_auto(curve, params_like, bits, w: int):
+    """Dispatch the grouped conditional sum: fused Pallas kernel on TPU
+    (ops/msm_rns_pallas.py), XLA grouped path elsewhere.  params_like must
+    expose packed_grouped_rns(w) and packed_grouped_kernel(w) caches."""
+    if grouped_kernel_ok(curve):
+        from crypto_primitives_tpu.ops import msm_rns_pallas as mk
+
+        return mk.grouped_msm_pallas(
+            curve, jnp.asarray(params_like.packed_grouped_kernel(w)), bits, w
+        )
+    return te_conditional_sum_grouped_rns(
+        curve, jnp.asarray(params_like.packed_grouped_rns(w)), bits, w
+    )
+
+
 @functools.partial(jax.jit, static_argnums=(0, 3, 4))
 def te_conditional_sum_grouped_rns(
     curve, combos: jnp.ndarray, bits: jnp.ndarray, w: int = 3, chunk: int = 256
@@ -266,6 +291,23 @@ def te_conditional_sum_grouped_rns(
 
 
 @functools.lru_cache(maxsize=64)
+def _fixed_base_powers(curve, pt: tuple, nbits: int) -> tuple:
+    powers = []
+    base = pt
+    for _ in range(nbits):
+        powers.append(base)
+        base = curve.double_host(base)
+    return tuple(powers)
+
+
+@functools.lru_cache(maxsize=64)
+def fixed_base_kernel_table(curve, pt: tuple, nbits: int, w: int = 3) -> np.ndarray:
+    from crypto_primitives_tpu.ops import msm_rns_pallas as mk
+
+    return mk.pack_combos_kernel(curve, list(_fixed_base_powers(curve, pt, nbits)), w)
+
+
+@functools.lru_cache(maxsize=64)
 def fixed_base_grouped_table(curve, pt: tuple, nbits: int, w: int = 3) -> np.ndarray:
     """Doubling-powers subset-sum table for a FIXED host base point:
     groups of w consecutive 2^j*P powers tabulated as 2^w combos.  With
@@ -274,20 +316,24 @@ def fixed_base_grouped_table(curve, pt: tuple, nbits: int, w: int = 3) -> np.nda
     precomputation arkworks burns into Pedersen's per-window tables
     (reference src/crh/pedersen/mod.rs:48-56), applied to Schnorr's s*G
     and ElGamal's r*G / r*pk."""
-    powers = []
-    base = pt
-    for _ in range(nbits):
-        powers.append(base)
-        base = curve.double_host(base)
-    return pack_table_grouped(curve, powers, w)
+    return pack_table_grouped(
+        curve, list(_fixed_base_powers(curve, pt, nbits)), w
+    )
 
 
 def te_fixed_base_mul_rns(
     curve, pt: tuple, bits: jnp.ndarray, w: int = 3
 ) -> jnp.ndarray:
     """pt (host affine tuple) times scalars given as bits (..., NBITS)
-    LSB-first, via the cached grouped doubling table."""
-    table = fixed_base_grouped_table(curve, tuple(pt), bits.shape[-1], w)
+    LSB-first, via the cached grouped doubling table (fused Pallas kernel
+    on TPU, XLA grouped path elsewhere)."""
+    nbits = bits.shape[-1]
+    if grouped_kernel_ok(curve):
+        from crypto_primitives_tpu.ops import msm_rns_pallas as mk
+
+        table = fixed_base_kernel_table(curve, tuple(pt), nbits, w)
+        return mk.grouped_msm_pallas(curve, jnp.asarray(table), bits, w)
+    table = fixed_base_grouped_table(curve, tuple(pt), nbits, w)
     return te_conditional_sum_grouped_rns(curve, jnp.asarray(table), bits, w)
 
 

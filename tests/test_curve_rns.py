@@ -202,3 +202,55 @@ def test_supports_rns():
     assert cr.supports_rns(JUBJUB)
     assert cr.supports_rns(ED_ON_BLS12_377)
     assert not cr.supports_rns(BLS12_381_G1)
+
+
+@pytest.mark.parametrize("w", [2, 3, 4])
+def test_grouped_msm_kernel_interpret(w, rng):
+    """The fused Pallas grouped-MSM kernel (interpret mode) == host oracle
+    == the XLA grouped path, incl. padding and multi-block batches."""
+    from crypto_primitives_tpu.ops import msm_rns_pallas as mk
+
+    curve = JUBJUB
+    n, B = 22, 10  # n % w != 0 for w in {3, 4}; B > block_b exercises grid
+    pts = [curve.rand_point(rng) for _ in range(n)]
+    bits_np = np.asarray(
+        [[rng.randrange(2) for _ in range(n)] for _ in range(B)], np.uint8
+    )
+    combos = jnp.asarray(mk.pack_combos_kernel(curve, pts, w))
+    got = mk.grouped_msm_pallas(
+        curve, combos, jnp.asarray(bits_np), w, block_b=8, interpret=True
+    )
+    aff = cr.unpack_points_rns(curve, np.asarray(got))
+    combos_xla = jnp.asarray(cr.pack_table_grouped(curve, pts, w))
+    xla = cr.te_conditional_sum_grouped_rns(curve, combos_xla, jnp.asarray(bits_np), w)
+    xla_aff = cr.unpack_points_rns(curve, np.asarray(xla))
+    for i in range(B):
+        acc = curve.zero_host()
+        for j in range(n):
+            if bits_np[i, j]:
+                acc = curve.add_host(acc, pts[j])
+        assert aff[i] == acc
+        assert xla_aff[i] == acc
+
+
+def test_grouped_msm_kernel_edges(rng):
+    """All-zero bits -> identity; all-one bits -> full sum; single add."""
+    from crypto_primitives_tpu.ops import msm_rns_pallas as mk
+
+    curve = JUBJUB
+    n, w = 8, 4
+    pts = [curve.rand_point(rng) for _ in range(n)]
+    combos = jnp.asarray(mk.pack_combos_kernel(curve, pts, w))
+    bits = np.zeros((3, n), np.uint8)
+    bits[1, :] = 1
+    bits[2, 5] = 1
+    got = mk.grouped_msm_pallas(
+        curve, combos, jnp.asarray(bits), w, block_b=8, interpret=True
+    )
+    aff = cr.unpack_points_rns(curve, np.asarray(got))
+    assert aff[0] == curve.zero_host()
+    full = curve.zero_host()
+    for p in pts:
+        full = curve.add_host(full, p)
+    assert aff[1] == full
+    assert aff[2] == pts[5]
