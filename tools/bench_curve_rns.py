@@ -72,7 +72,9 @@ def bench_te_add(B):
         print(f"te_add {name} B={B:6d}: {rate/1e6:8.2f}e6 add/s", flush=True)
 
 
-def bench_pedersen(B, nbits=2000, w=3):
+def bench_pedersen(B, nbits=2000, w=3, kernel_ws=(3, 4, 5)):
+    from crypto_primitives_tpu.ops import msm_rns_pallas as mk
+
     rng = random.Random(1)
     pts = [JUBJUB.rand_point(rng) for _ in range(nbits)]
     bits = jnp.asarray(
@@ -82,10 +84,28 @@ def bench_pedersen(B, nbits=2000, w=3):
     t_rns = jnp.asarray(cr.pack_points_rns(JUBJUB, pts))
     t_limb = jnp.asarray(JUBJUB.pack_points(pts))
 
-    f_grp = jax.jit(lambda b: cr.te_conditional_sum_grouped_rns(JUBJUB, combos, b, w)[..., 0, :].sum())
-    f_rns = jax.jit(lambda b: cr.te_conditional_sum_rns(JUBJUB, t_rns, b)[..., 0, :].sum())
-    f_limb = jax.jit(lambda b: cv.te_conditional_sum(JUBJUB, t_limb, b)[..., 0, :].astype(jnp.float32).sum())
-    for name, f in ((f"grouped w={w}", f_grp), ("per-bit rns ", f_rns), ("limb        ", f_limb)):
+    fns = []
+    interp = jax.default_backend() != "tpu"
+    if interp:
+        kernel_ws = ()  # interpreter at bench scale is pointless off-TPU
+    for kw in kernel_ws:
+        ck = jnp.asarray(mk.pack_combos_kernel(JUBJUB, pts, kw))
+        fns.append(
+            (
+                f"pallas-kernel w={kw}",
+                jax.jit(
+                    lambda b, ck=ck, kw=kw: mk.grouped_msm_pallas(
+                        JUBJUB, ck, b, kw, interpret=interp
+                    )[..., 0, :].sum()
+                ),
+            )
+        )
+    fns += [
+        (f"xla-grouped  w={w}", jax.jit(lambda b: cr.te_conditional_sum_grouped_rns(JUBJUB, combos, b, w)[..., 0, :].sum())),
+        ("xla-per-bit rns ", jax.jit(lambda b: cr.te_conditional_sum_rns(JUBJUB, t_rns, b)[..., 0, :].sum())),
+        ("limb            ", jax.jit(lambda b: cv.te_conditional_sum(JUBJUB, t_limb, b)[..., 0, :].astype(jnp.float32).sum())),
+    ]
+    for name, f in fns:
         try:
             t = timed(f, bits)
             print(f"pedersen-msm {name} B={B:5d}: {B/t:9.1f} hashes/s", flush=True)
