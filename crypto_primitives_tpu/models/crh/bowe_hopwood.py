@@ -56,6 +56,41 @@ class BoweHopwoodParameters:
             cr.pack_points_rns(self.curve, dbl),
         )
 
+    def _signed_combos(self, n_real: int):
+        """Per-chunk 8-way signed-digit lookup points: combos[j][e] =
+        (1 + c0 + 2*c1) * (1 - 2*c2) * g_j for e = c0 + 2c1 + 4c2 — the
+        Bowe-Hopwood chunk encoding (reference mod.rs:161-181) expressed
+        as a grouped conditional-sum table; chunks >= n_real (absent in
+        the reference's CHUNK_SIZE padding) contribute the identity."""
+        flat = [g for win in self.generators for g in win]
+        combos = []
+        for j, g in enumerate(flat):
+            if j >= n_real:
+                combos.append([self.curve.zero_host()] * 8)
+                continue
+            row = []
+            for e in range(8):
+                c0, c1, c2 = e & 1, (e >> 1) & 1, (e >> 2) & 1
+                pt = self.curve.scalar_mul_host(g, 1 + c0 + 2 * c1)
+                if c2:
+                    pt = self.curve.neg_host(pt)
+                row.append(pt)
+            combos.append(row)
+        return combos
+
+    @functools.cache
+    def packed_signed_grouped_rns(self, n_real: int) -> np.ndarray:
+        combos = self._signed_combos(n_real)
+        flat = [pt for row in combos for pt in row]
+        G = len(combos)
+        return cr.pack_points_rns(self.curve, flat).reshape(G, 8, 4, -1)
+
+    @functools.cache
+    def packed_signed_grouped_kernel(self, n_real: int) -> np.ndarray:
+        from crypto_primitives_tpu.ops import msm_rns_pallas as mk
+
+        return mk.pack_combos_from_subsets(self.curve, self._signed_combos(n_real))
+
     def __hash__(self):
         return id(self)
 
@@ -140,32 +175,27 @@ class BoweHopwoodCRH:
         batch = bits.shape[:-2]
         n_real = -(-(nbytes * 8) // CHUNK_SIZE)
         if cr.supports_rns(self.curve):
-            g, g2 = params.packed_rns()
-            gb = jnp.broadcast_to(g, batch + g.shape)
-            enc = cr.te_add_rns(
-                self.curve,
-                gb,
-                cr.te_select_rns(
-                    bits[..., 0] != 0, gb, cr.identity_rns(self.curve, batch + (nchunks,))
-                ),
-            )
-            enc = cr.te_add_rns(
-                self.curve,
-                enc,
-                cr.te_select_rns(
-                    bits[..., 1] != 0,
-                    jnp.broadcast_to(g2, batch + g2.shape),
-                    cr.identity_rns(self.curve, batch + (nchunks,)),
-                ),
-            )
-            enc = cr.te_select_rns(bits[..., 2] != 0, cr.te_neg_rns(self.curve, enc), enc)
-            mask = jnp.arange(nchunks) < n_real
-            enc = cr.te_select_rns(
-                jnp.broadcast_to(mask, batch + (nchunks,)),
-                enc,
-                cr.identity_rns(self.curve, batch + (nchunks,)),
-            )
-            total = cr.to_limb_points(self.curve, cr.te_sum_rns(self.curve, enc))
+            # each 3-bit chunk is an 8-way signed lookup — a grouped
+            # conditional sum over the precomputed signed-digit tables
+            # (chunks >= n_real select the identity)
+            flat_bits = bits.reshape(batch + (nchunks * CHUNK_SIZE,))
+            if cr.grouped_kernel_ok(self.curve):
+                from crypto_primitives_tpu.ops import msm_rns_pallas as mk
+
+                acc = mk.grouped_msm_pallas(
+                    self.curve,
+                    jnp.asarray(params.packed_signed_grouped_kernel(n_real)),
+                    flat_bits,
+                    CHUNK_SIZE,
+                )
+            else:
+                acc = cr.te_conditional_sum_grouped_rns(
+                    self.curve,
+                    jnp.asarray(params.packed_signed_grouped_rns(n_real)),
+                    flat_bits,
+                    CHUNK_SIZE,
+                )
+            total = cr.to_limb_points(self.curve, acc)
             return cv.te_to_affine(self.curve, total)[..., 0, :]
         g, g2 = params.packed()
         gb = jnp.broadcast_to(g, batch + g.shape)

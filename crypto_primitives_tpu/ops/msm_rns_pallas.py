@@ -40,39 +40,52 @@ from crypto_primitives_tpu.ops.rns import DELTA1, DELTA2, DIGIT, K
 DEFAULT_BLOCK = 512
 
 
-def pack_combos_kernel(curve, pts, w: int = 4) -> np.ndarray:
-    """Host precompute: grouped subset-sum tables in kernel layout.
+def pack_combos_from_subsets(curve, groups) -> np.ndarray:
+    """Host precompute: explicit per-group combo points -> kernel layout.
 
-    Returns (G, 2*2K, 4*2^w) float32 — per group, rows are the combo
-    residues' 6-bit digit planes (d0; 64*d1), columns are coord-major
+    groups: list of lists, each 2^w host affine points (groups[g][e] is
+    the point selected when the group's window value is e).  Returns
+    (G, 2*2K, 4*2^w) float32 — per group, rows are the combo residues'
+    6-bit digit planes (d0; 64*d1), columns are coord-major
     [X2 | Y2 | d*T2 | s2] x 2^w combos, residues sigma-twisted (base 1)
-    and tau*c2-twisted (base 2).  pts are padded to a multiple of w with
-    the identity."""
+    and tau*c2-twisted (base 2)."""
     assert curve.a == curve.base.p - 1, "kernel specialized for a = -1"
     p = curve.base.p
     plan = rns.build_plan(p)
-    pts = list(pts)
-    ident = curve.zero_host()
-    while len(pts) % w:
-        pts.append(ident)
-    G = len(pts) // w
+    G = len(groups)
+    ew = len(groups[0])
     d = curve.d
-    out = np.zeros((G, 2 * 2 * K, 4 << w), np.float32)
-    for g in range(G):
-        grp = pts[g * w : (g + 1) * w]
-        subset = [ident]
-        for i in range(w):
-            subset += [curve.add_host(s, grp[i]) for s in subset]
+    out = np.zeros((G, 2 * 2 * K, 4 * ew), np.float32)
+    for g, subset in enumerate(groups):
+        assert len(subset) == ew
         for e, (x, y) in enumerate(subset):
             vals = (x, y, d * x % p * y % p, (x + y) % p)
             for c, v in enumerate(vals):
                 rows = _mont_twisted_rows(plan, v, p)  # (2K,) twisted Mont
                 r64 = rows.astype(np.int64)
                 d1, d0 = np.divmod(r64, 1 << DIGIT)
-                col = c * (1 << w) + e
+                col = c * ew + e
                 out[g, : 2 * K, col] = d0
                 out[g, 2 * K :, col] = 64.0 * d1
     return out
+
+
+def pack_combos_kernel(curve, pts, w: int = 4) -> np.ndarray:
+    """Subset-sum grouped tables (see pack_combos_from_subsets): pts are
+    padded to a multiple of w with the identity; groups[g][e] =
+    sum_{i: e>>i & 1} pts[g*w + i]."""
+    pts = list(pts)
+    ident = curve.zero_host()
+    while len(pts) % w:
+        pts.append(ident)
+    groups = []
+    for g in range(len(pts) // w):
+        grp = pts[g * w : (g + 1) * w]
+        subset = [ident]
+        for i in range(w):
+            subset += [curve.add_host(s, grp[i]) for s in subset]
+        groups.append(subset)
+    return pack_combos_from_subsets(curve, groups)
 
 
 @functools.cache

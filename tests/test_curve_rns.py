@@ -254,3 +254,37 @@ def test_grouped_msm_kernel_edges(rng):
         full = curve.add_host(full, p)
     assert aff[1] == full
     assert aff[2] == pts[5]
+
+
+def test_bowe_hopwood_kernel_table_interpret(rng):
+    """BH signed-digit grouped tables through the Pallas kernel (interpret)
+    == the host BH evaluation (reference mod.rs:114-186 semantics)."""
+    from crypto_primitives_tpu.models.crh.bowe_hopwood import (
+        CHUNK_SIZE,
+        BoweHopwoodCRH,
+    )
+    from crypto_primitives_tpu.models.crh.pedersen import (
+        Window,
+        bytes_to_bits_batch,
+    )
+    from crypto_primitives_tpu.ops import msm_rns_pallas as mk
+    from crypto_primitives_tpu.ops import field as ff
+
+    curve = JUBJUB
+    bh = BoweHopwoodCRH(curve, Window(8, 4))
+    params = bh.setup(rng)
+    msgs = [bytes(rng.randrange(256) for _ in range(4)) for _ in range(3)]
+    nchunks = 8 * 4
+    n_real = -(-(4 * 8) // CHUNK_SIZE)
+    bits = jnp.asarray(
+        bytes_to_bits_batch(
+            np.asarray([list(m) for m in msgs], np.uint8), nchunks * CHUNK_SIZE
+        )
+    )
+    table = jnp.asarray(params.packed_signed_grouped_kernel(n_real))
+    acc = mk.grouped_msm_pallas(
+        curve, table, bits, CHUNK_SIZE, block_b=8, interpret=True
+    )
+    aff = cr.unpack_points_rns(curve, np.asarray(acc))
+    for i, m in enumerate(msgs):
+        assert aff[i][0] == bh.evaluate(params, m)
