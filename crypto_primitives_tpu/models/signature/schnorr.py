@@ -142,6 +142,48 @@ class Schnorr:
                 out[i, j] = (v >> j) & 1
         return out
 
+    def sign_batch(self, params: SchnorrParameters, sks: List[int],
+                   messages: List[bytes], rng) -> List[SchnorrSignature]:
+        """Batch signing: the per-signature commitments r = k*G run as one
+        fixed-base device program (grouped doubling tables); hashing and
+        the rejection-resample loop finish on host.  Semantics per
+        signature match `sign` (mod.rs:77-115)."""
+        B = len(sks)
+        assert len(messages) == B
+        r_order = self.curve.scalar.p
+        pending = list(range(B))
+        out: List[SchnorrSignature] = [None] * B
+        while pending:
+            # resample at the FULL batch shape (unused rows get fresh k's
+            # that are simply discarded): ~45% of draws reject for a
+            # 255-bit field, and a shrinking batch would recompile the
+            # device program once per distinct pending count
+            ks = [rng.randrange(r_order) for _ in range(B)]
+            if cr.supports_rns(self.curve):
+                bits = jnp.asarray(self._scalars_to_bits(ks))
+                pts = cr.te_fixed_base_mul_rns(self.curve, params.generator, bits)
+                commits = cr.unpack_points_rns(self.curve, np.asarray(pts))
+            else:
+                commits = [
+                    self.curve.scalar_mul_host(params.generator, ks[i])
+                    for i in pending
+                ]
+                commits = dict(zip(pending, commits))
+            still = []
+            for i in pending:
+                e = self._from_random_bytes(
+                    self.digest(
+                        self._hash_input(params, tuple(commits[i]), messages[i])
+                    )
+                )
+                if e is None:  # rejection-resample, as the reference loop
+                    still.append(i)
+                    continue
+                s = (ks[i] - e * sks[i]) % r_order
+                out[i] = SchnorrSignature(prover_response=s, verifier_challenge=e)
+            pending = still
+        return out
+
     def verify_batch(self, params: SchnorrParameters, pks: List[Tuple[int, int]],
                      messages: List[bytes], sigs: List[SchnorrSignature]) -> List[bool]:
         """Batch the two variable-base scalar muls per signature on device,

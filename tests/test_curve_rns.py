@@ -288,3 +288,21 @@ def test_bowe_hopwood_kernel_table_interpret(rng):
     aff = cr.unpack_points_rns(curve, np.asarray(acc))
     for i, m in enumerate(msgs):
         assert aff[i][0] == bh.evaluate(params, m)
+
+
+def test_schnorr_sign_batch(rng):
+    """sign_batch signatures verify under both host verify and
+    verify_batch; deterministic-rng equivalence is not required (the
+    reference's sign is randomized), only validity."""
+    from crypto_primitives_tpu.models.signature.schnorr import Schnorr
+
+    sch = Schnorr(JUBJUB)
+    params = sch.setup(rng)
+    B = 3
+    msgs = [bytes(rng.randrange(256) for _ in range(20)) for _ in range(B)]
+    keys = [sch.keygen(params, rng) for _ in range(B)]
+    sigs = sch.sign_batch(params, [sk for _, sk in keys], msgs, rng)
+    for i in range(B):
+        assert sch.verify(params, keys[i][0], msgs[i], sigs[i])
+    assert sch.verify_batch(params, [pk for pk, _ in keys], msgs, sigs) == [True] * B
+    assert not sch.verify(params, keys[0][0], msgs[1], sigs[0])
