@@ -142,6 +142,18 @@ class Schnorr:
                 out[i, j] = (v >> j) & 1
         return out
 
+    def keygen_batch(self, params: SchnorrParameters, rng, n: int):
+        """n keypairs with the pk scalar muls batched on device
+        (fixed-base grouped tables); twin of n keygen calls (mod.rs:64-75)."""
+        sks = [rng.randrange(self.curve.scalar.p) for _ in range(n)]
+        if cr.supports_rns(self.curve):
+            bits = jnp.asarray(self._scalars_to_bits(sks))
+            pts = cr.te_fixed_base_mul_rns(self.curve, params.generator, bits)
+            pks = [tuple(t) for t in cr.unpack_points_rns(self.curve, np.asarray(pts))]
+        else:
+            pks = [self.curve.scalar_mul_host(params.generator, sk) for sk in sks]
+        return list(zip(pks, sks))
+
     def sign_batch(self, params: SchnorrParameters, sks: List[int],
                    messages: List[bytes], rng) -> List[SchnorrSignature]:
         """Batch signing: the per-signature commitments r = k*G run as one

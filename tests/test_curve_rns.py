@@ -301,6 +301,9 @@ def test_schnorr_sign_batch(rng):
     B = 3
     msgs = [bytes(rng.randrange(256) for _ in range(20)) for _ in range(B)]
     keys = [sch.keygen(params, rng) for _ in range(B)]
+    keys = sch.keygen_batch(params, rng, B)
+    for pk, sk in keys:
+        assert pk == JUBJUB.scalar_mul_host(params.generator, sk)
     sigs = sch.sign_batch(params, [sk for _, sk in keys], msgs, rng)
     for i in range(B):
         assert sch.verify(params, keys[i][0], msgs[i], sigs[i])
