@@ -8,9 +8,8 @@ and tools/bench_rns_kernel.py touch, plus the standard probes.
 import jax
 
 jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache_tpu")
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# no persistent cache here: CPU-forced runs would write machine-pinned
+# XLA:CPU AOT entries into the TPU cache (SIGILL on other hosts)
 
 import jax.numpy as jnp
 import numpy as np

@@ -4,9 +4,10 @@ import sys
 
 import jax
 
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache_tpu")
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+if jax.default_backend() != "cpu":  # CPU AOT entries are machine-pinned
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache_tpu")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 if os.environ.get("DRIVE_CPU"):
     jax.config.update("jax_platforms", "cpu")
 

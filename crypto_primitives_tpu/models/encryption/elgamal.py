@@ -65,9 +65,19 @@ class ElGamal:
         B = len(messages)
         rbits = jnp.asarray(self._scalars_to_bits(randomness))
         if cr.supports_rns(self.curve):
-            # both bases are fixed across the batch: cached grouped tables
+            # the generator is always worth a cached grouped doubling
+            # table; the recipient pk only amortizes its host precompute
+            # (~250 doublings + subset sums) over a large batch — for
+            # small batches / many distinct recipients use the windowed
+            # variable-base path instead of churning the table cache
             c1 = cr.te_fixed_base_mul_rns(self.curve, params.generator, rbits)
-            s = cr.te_fixed_base_mul_rns(self.curve, tuple(pk), rbits)
+            if B >= 32:
+                s = cr.te_fixed_base_mul_rns(self.curve, tuple(pk), rbits)
+            else:
+                pkd = jnp.asarray(cr.pack_points_rns(self.curve, tuple(pk)))
+                s = cr.te_scalar_mul_bits_windowed_rns(
+                    self.curve, jnp.broadcast_to(pkd, (B,) + pkd.shape), rbits
+                )
             msgs = jnp.asarray(cr.pack_points_rns(self.curve, list(messages)))
             c2 = cr.te_add_rns(self.curve, msgs, s)
             c1h = cr.unpack_points_rns(self.curve, np.asarray(c1))

@@ -511,4 +511,7 @@ def pedersen_device_tree(
             int.from_bytes(b[cb : 2 * cb], "little"),
         )
 
-    return DeviceMerkleTree.build(leaf_hash, compress, leaves, to_host)
+    return DeviceMerkleTree.build(
+        leaf_hash, compress, leaves, to_host,
+        compress_level_batch=compress_level,
+    )

@@ -45,17 +45,17 @@ def curve_field(curve) -> RnsField:
 
 import os
 
-# escape hatch for debugging / A-B benching: CPT_DISABLE_RNS_CURVE=1 forces
-# every primitive back onto the limb-schoolbook device tier
-DISABLED = os.environ.get("CPT_DISABLE_RNS_CURVE") == "1"
-
 
 def supports_rns(curve) -> bool:
     """The 2xK eleven-bit base covers odd primes up to ~2^264 with the
-    16p margin; SW curves over 381-bit fields stay on the limb path."""
+    16p margin; SW curves over 381-bit fields stay on the limb path.
+    CPT_DISABLE_RNS_CURVE=1 (read per call, so tests can monkeypatch it)
+    forces every primitive back onto the limb-schoolbook device tier."""
     from crypto_primitives_tpu.ops.curve import TECurveSpec
 
-    if DISABLED or not isinstance(curve, TECurveSpec):
+    if os.environ.get("CPT_DISABLE_RNS_CURVE") == "1":
+        return False
+    if not isinstance(curve, TECurveSpec):
         return False
     try:
         rns.build_plan(curve.base.p)
@@ -208,6 +208,26 @@ def te_conditional_sum_rns(
     return acc
 
 
+def subset_groups(curve, pts, w: int):
+    """Group pts into w-point groups (identity-padded) and tabulate all
+    2^w subset sums: groups[g][e] = sum_{i: e>>i & 1} pts[g*w + i].
+    SHARED by the XLA table (pack_table_grouped) and the Pallas kernel
+    table (msm_rns_pallas.pack_combos_kernel) — the two must select
+    identical points."""
+    pts = list(pts)
+    ident = curve.zero_host()
+    while len(pts) % w:
+        pts.append(ident)
+    groups = []
+    for g in range(len(pts) // w):
+        grp = pts[g * w : (g + 1) * w]
+        subset = [ident]
+        for i in range(w):  # subset sums in index order: e = prev | 1<<i
+            subset += [curve.add_host(s, grp[i]) for s in subset]
+        groups.append(subset)
+    return groups
+
+
 def pack_table_grouped(curve, pts, w: int = 3) -> np.ndarray:
     """Host precompute for the windowed conditional sum: group the table
     into w-point groups and tabulate all 2^w subset sums.
@@ -219,30 +239,53 @@ def pack_table_grouped(curve, pts, w: int = 3) -> np.ndarray:
     reference src/crh/pedersen/mod.rs:113-124, with a w-bit lookup the
     reference's per-bit loop doesn't need because CPU adds are cheap
     relative to CPU selects — on the VPU the economics invert)."""
-    pts = list(pts)
-    ident = curve.zero_host()
-    while len(pts) % w:
-        pts.append(ident)
-    G = len(pts) // w
-    combos = []
-    for g in range(G):
-        grp = pts[g * w : (g + 1) * w]
-        subset = [ident]
-        for i in range(w):  # subset sums in index order: e = prev | 1<<i
-            subset += [curve.add_host(s, grp[i]) for s in subset]
-        combos.append(subset)
+    combos = subset_groups(curve, pts, w)
     flat = [pt for grp in combos for pt in grp]
-    return pack_points_rns(curve, flat).reshape(G, 1 << w, 4, 2 * K)
+    return pack_points_rns(curve, flat).reshape(len(combos), 1 << w, 4, 2 * K)
+
+
+_KERNEL_PROBE: dict = {}
 
 
 def grouped_kernel_ok(curve) -> bool:
     """The fused Pallas MSM kernel requires a real TPU backend and the
-    a = -1 specialization (both known TE curves qualify)."""
-    return (
-        jax.default_backend() == "tpu"
-        and curve.a == curve.base.p - 1
-        and supports_rns(curve)
-    )
+    a = -1 specialization (both known TE curves qualify).  The first call
+    per curve compiles and runs a tiny kernel and checks it against the
+    host oracle — if Mosaic rejects the program or produces garbage on
+    this hardware, every workload silently stays on the XLA grouped path
+    instead of failing (the kernel and XLA paths are interchangeable)."""
+    if (
+        jax.default_backend() != "tpu"
+        or curve.a != curve.base.p - 1
+        or not supports_rns(curve)
+        or os.environ.get("CPT_DISABLE_MSM_KERNEL") == "1"
+    ):
+        return False
+    ok = _KERNEL_PROBE.get(curve)
+    if ok is None:
+        ok = _probe_kernel(curve)
+        _KERNEL_PROBE[curve] = ok
+    return ok
+
+
+def _probe_kernel(curve) -> bool:
+    import numpy as _np
+
+    from crypto_primitives_tpu.ops import msm_rns_pallas as mk
+
+    try:
+        import random as _random
+
+        base = curve.rand_point(_random.Random(1))
+        pts = [curve.scalar_mul_host(base, k) for k in (1, 2, 3, 4)]
+        combos = jnp.asarray(mk.pack_combos_kernel(curve, pts, 2))
+        bits = jnp.asarray(_np.array([[1, 0, 1, 1]], _np.uint8))
+        out = mk.grouped_msm_pallas(curve, combos, bits, 2, block_b=8)
+        got = unpack_points_rns(curve, _np.asarray(out))[0]
+        want = curve.add_host(curve.add_host(pts[0], pts[2]), pts[3])
+        return got == want
+    except Exception:
+        return False
 
 
 def conditional_sum_grouped_auto(curve, params_like, bits, w: int):

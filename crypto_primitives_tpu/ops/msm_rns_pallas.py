@@ -73,19 +73,12 @@ def pack_combos_from_subsets(curve, groups) -> np.ndarray:
 def pack_combos_kernel(curve, pts, w: int = 4) -> np.ndarray:
     """Subset-sum grouped tables (see pack_combos_from_subsets): pts are
     padded to a multiple of w with the identity; groups[g][e] =
-    sum_{i: e>>i & 1} pts[g*w + i]."""
-    pts = list(pts)
-    ident = curve.zero_host()
-    while len(pts) % w:
-        pts.append(ident)
-    groups = []
-    for g in range(len(pts) // w):
-        grp = pts[g * w : (g + 1) * w]
-        subset = [ident]
-        for i in range(w):
-            subset += [curve.add_host(s, grp[i]) for s in subset]
-        groups.append(subset)
-    return pack_combos_from_subsets(curve, groups)
+    sum_{i: e>>i & 1} pts[g*w + i] — the SAME grouping as the XLA table
+    (curve_rns.subset_groups), so kernel and XLA paths select identical
+    points."""
+    from crypto_primitives_tpu.ops.curve_rns import subset_groups
+
+    return pack_combos_from_subsets(curve, subset_groups(curve, pts, w))
 
 
 @functools.cache
