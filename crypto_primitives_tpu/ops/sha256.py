@@ -95,6 +95,45 @@ def _pad_length(n: int) -> int:
     return ((n + 1 + 8 + 63) // 64) * 64
 
 
+_KERNEL_OK: list = []
+
+
+def _kernel_ok() -> bool:
+    """First call on a TPU backend compiles a tiny Pallas SHA kernel and
+    checks it against hashlib; any failure pins the XLA path (the two are
+    interchangeable).  CPT_DISABLE_SHA_KERNEL=1 forces the XLA path."""
+    import os
+
+    if _KERNEL_OK:
+        return _KERNEL_OK[0]
+    ok = False
+    if (
+        jax.default_backend() == "tpu"
+        and os.environ.get("CPT_DISABLE_SHA_KERNEL") != "1"
+    ):
+        try:
+            import hashlib
+
+            from crypto_primitives_tpu.ops.sha256_pallas import (
+                sha256_state_pallas,
+            )
+
+            msg = bytes(range(32))
+            padded = np.zeros(64, np.uint8)
+            padded[:32] = np.frombuffer(msg, np.uint8)
+            padded[32] = 0x80
+            padded[-8:] = np.frombuffer((256).to_bytes(8, "big"), np.uint8)
+            by = padded.reshape(1, 1, 16, 4).astype(np.uint32)
+            w = (by[..., 0] << 24) | (by[..., 1] << 16) | (by[..., 2] << 8) | by[..., 3]
+            st = np.asarray(sha256_state_pallas(jnp.asarray(w)))
+            got = b"".join(int(v).to_bytes(4, "big") for v in st[0])
+            ok = got == hashlib.sha256(msg).digest()
+        except Exception:
+            ok = False
+    _KERNEL_OK.append(ok)
+    return ok
+
+
 @functools.partial(jax.jit, static_argnums=(1,))
 def _sha256_impl(data: jnp.ndarray, n: int) -> jnp.ndarray:
     total = _pad_length(n)
@@ -111,17 +150,26 @@ def _sha256_impl(data: jnp.ndarray, n: int) -> jnp.ndarray:
     by = padded.reshape(batch + (nblocks, 16, 4)).astype(jnp.uint32)
     words = (by[..., 0] << 24) | (by[..., 1] << 16) | (by[..., 2] << 8) | by[..., 3]
 
-    state = jnp.broadcast_to(jnp.asarray(_H0), batch + (8,))
-    if nblocks <= 4:
-        for i in range(nblocks):
-            state = _compress(state, words[..., i, :])
+    if _kernel_ok() and int(np.prod(batch)) >= 512 and nblocks <= 4:
+        # fused Pallas path: the XLA scan round-trips the working state
+        # through HBM every round; the kernel keeps the whole hash in VMEM
+        from crypto_primitives_tpu.ops.sha256_pallas import sha256_state_pallas
+
+        state = sha256_state_pallas(
+            words.reshape((-1, nblocks, 16))
+        ).reshape(batch + (8,))
     else:
-        words_scan = jnp.moveaxis(words, -2, 0)
+        state = jnp.broadcast_to(jnp.asarray(_H0), batch + (8,))
+        if nblocks <= 4:
+            for i in range(nblocks):
+                state = _compress(state, words[..., i, :])
+        else:
+            words_scan = jnp.moveaxis(words, -2, 0)
 
-        def body(st, blk):
-            return _compress(st, blk), None
+            def body(st, blk):
+                return _compress(st, blk), None
 
-        state, _ = jax.lax.scan(body, state, words_scan)
+            state, _ = jax.lax.scan(body, state, words_scan)
 
     # state words -> big-endian bytes
     out = jnp.stack(
