@@ -69,7 +69,8 @@ class PedersenCommitmentParameters:
 
 
 class PedersenCommitment:
-    def __init__(self, curve: TECurveSpec, window: Window):
+    def __init__(self, curve, window: Window):
+        # curve: TECurveSpec or SWCurveSpec (duck-typed host + device tiers)
         self.curve = curve
         self.window = window
         self.crh = PedersenCRH(curve, window)
@@ -115,10 +116,8 @@ class PedersenCommitment:
             )
             return cv.te_to_affine(self.curve, ext)
         msg = self.crh.evaluate_batch_extended(params.crh_params(), inputs)
-        blind = cv.te_conditional_sum(
-            self.curve, params.packed_randomness(), randomness
-        )
-        return cv.te_to_affine(self.curve, cv.te_add(self.curve, msg, blind))
+        blind = self.curve.dev_conditional_sum(params.packed_randomness(), randomness)
+        return self.curve.dev_to_affine(self.curve.dev_add(msg, blind))
 
     def randomness_to_bits(self, randomness) -> np.ndarray:
         """Host scalars -> (..., nbits) LE bit array for commit_batch."""

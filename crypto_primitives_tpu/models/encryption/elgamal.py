@@ -24,7 +24,8 @@ class ElGamalParameters:
 
 
 class ElGamal:
-    def __init__(self, curve: TECurveSpec):
+    def __init__(self, curve):
+        # curve: TECurveSpec or SWCurveSpec (duck-typed host + device tiers)
         self.curve = curve
 
     def setup(self, rng) -> ElGamalParameters:
@@ -85,17 +86,21 @@ class ElGamal:
             return [(tuple(c1h[i]), tuple(c2h[i])) for i in range(B)]
         gen = jnp.asarray(self.curve.pack_points(params.generator))
         pkd = jnp.asarray(self.curve.pack_points(pk))
-        c1 = cv.te_scalar_mul_bits(
-            self.curve, jnp.broadcast_to(gen, (B,) + gen.shape), rbits
+        c1 = self.curve.dev_scalar_mul_bits(
+            jnp.broadcast_to(gen, (B,) + gen.shape), rbits
         )
-        s = cv.te_scalar_mul_bits(
-            self.curve, jnp.broadcast_to(pkd, (B,) + pkd.shape), rbits
+        s = self.curve.dev_scalar_mul_bits(
+            jnp.broadcast_to(pkd, (B,) + pkd.shape), rbits
         )
         msgs = jnp.asarray(self.curve.pack_points(list(messages)))
-        c2 = cv.te_add(self.curve, msgs, s)
+        c2 = self.curve.dev_add(msgs, s)
         c1h = self.curve.unpack_points(np.asarray(c1))
         c2h = self.curve.unpack_points(np.asarray(c2))
-        return [(tuple(c1h[i]), tuple(c2h[i])) for i in range(B)]
+
+        def _t(p):  # SW identity unpacks to None
+            return tuple(p) if p is not None else None
+
+        return [(_t(c1h[i]), _t(c2h[i])) for i in range(B)]
 
     def decrypt_batch(self, params: ElGamalParameters, sk: int, ciphertexts: List):
         B = len(ciphertexts)
@@ -109,7 +114,7 @@ class ElGamal:
             return [tuple(mh[i]) for i in range(B)]
         c1 = jnp.asarray(self.curve.pack_points([c[0] for c in ciphertexts]))
         c2 = jnp.asarray(self.curve.pack_points([c[1] for c in ciphertexts]))
-        s = cv.te_scalar_mul_bits(self.curve, c1, sk_bits)
-        m = cv.te_add(self.curve, c2, cv.te_neg(self.curve, s))
+        s = self.curve.dev_scalar_mul_bits(c1, sk_bits)
+        m = self.curve.dev_add(c2, self.curve.dev_neg(s))
         mh = self.curve.unpack_points(np.asarray(m))
-        return [tuple(mh[i]) for i in range(B)]
+        return [tuple(mh[i]) if mh[i] is not None else None for i in range(B)]

@@ -1,4 +1,5 @@
-"""Schnorr signatures over a TE group with a generic byte digest.
+"""Schnorr signatures over any curve group (TE or SW) with a generic byte
+digest — the reference is generic over ark-ec `CurveGroup` the same way.
 
 Twin of /root/reference/crypto-primitives/src/signature/schnorr/mod.rs:
   * setup: random 32-byte salt + random generator (mod.rs:49-62)
@@ -11,8 +12,9 @@ Twin of /root/reference/crypto-primitives/src/signature/schnorr/mod.rs:
     reversed-stream double-and-add computes the same integer)
 
 Serialization details that define the hash input (ark-serialize semantics):
-salt = raw 32 bytes (fixed array, no prefix); r = TE compressed (y bytes,
-x-sign flag in top bit); msg = u64 LE length prefix + bytes (slice impl).
+salt = raw 32 bytes (fixed array, no prefix); r = compressed point (TE:
+y bytes with x-sign flag in the top bit; SW: x bytes with SWFlags); msg =
+u64 LE length prefix + bytes (slice impl).
 
 TPU addition: `verify_batch` — the two scalar multiplications for B
 signatures run as one batched device program; the cheap byte hashing
@@ -59,7 +61,8 @@ def _randomness_multiplier(randomness: bytes) -> int:
 
 
 class Schnorr:
-    def __init__(self, curve: TECurveSpec, digest: Callable[[bytes], bytes] = None):
+    def __init__(self, curve, digest: Callable[[bytes], bytes] = None):
+        # curve: TECurveSpec or SWCurveSpec (duck-typed host + device tiers)
         self.curve = curve
         self.digest = digest or (lambda b: hashlib.sha256(b).digest())
 
@@ -151,7 +154,12 @@ class Schnorr:
             pts = cr.te_fixed_base_mul_rns(self.curve, params.generator, bits)
             pks = [tuple(t) for t in cr.unpack_points_rns(self.curve, np.asarray(pts))]
         else:
-            pks = [self.curve.scalar_mul_host(params.generator, sk) for sk in sks]
+            bits = jnp.asarray(self._scalars_to_bits(sks))
+            gen = jnp.asarray(self.curve.pack_points(params.generator))
+            pts = self.curve.dev_scalar_mul_bits(
+                jnp.broadcast_to(gen, (n,) + gen.shape), bits
+            )
+            pks = self.curve.unpack_points(np.asarray(pts))
         return list(zip(pks, sks))
 
     def sign_batch(self, params: SchnorrParameters, sks: List[int],
@@ -183,10 +191,10 @@ class Schnorr:
                 commits = dict(zip(pending, commits))
             still = []
             for i in pending:
+                c = commits[i]
+                c = tuple(c) if c is not None else None  # SW identity is None
                 e = self._from_random_bytes(
-                    self.digest(
-                        self._hash_input(params, tuple(commits[i]), messages[i])
-                    )
+                    self.digest(self._hash_input(params, c, messages[i]))
                 )
                 if e is None:  # rejection-resample, as the reference loop
                     still.append(i)
@@ -217,13 +225,17 @@ class Schnorr:
             gen = jnp.asarray(self.curve.pack_points(params.generator))
             gens = jnp.broadcast_to(gen, (B,) + gen.shape)
             pks_dev = jnp.asarray(self.curve.pack_points(list(pks)))
-            sg = cv.te_scalar_mul_bits(self.curve, gens, s_bits)
-            epk = cv.te_scalar_mul_bits(self.curve, pks_dev, e_bits)
-            r_primes = self.curve.unpack_points(np.asarray(cv.te_add(self.curve, sg, epk)))
+            sg = self.curve.dev_scalar_mul_bits(gens, s_bits)
+            epk = self.curve.dev_scalar_mul_bits(pks_dev, e_bits)
+            r_primes = self.curve.unpack_points(
+                np.asarray(self.curve.dev_add(sg, epk))
+            )
         out = []
         for i in range(B):
+            rp = r_primes[i]
+            rp = tuple(rp) if rp is not None else None  # SW identity is None
             e = self._from_random_bytes(
-                self.digest(self._hash_input(params, tuple(r_primes[i]), messages[i]))
+                self.digest(self._hash_input(params, rp, messages[i]))
             )
             out.append(e is not None and e == sigs[i].verifier_challenge)
         return out

@@ -175,6 +175,15 @@ class TECurveSpec:
     def dev_to_affine(self, pts):
         return te_to_affine(self, pts)
 
+    def dev_add(self, p1, p2):
+        return te_add(self, p1, p2)
+
+    def dev_neg(self, pts):
+        return te_neg(self, pts)
+
+    def dev_scalar_mul_bits(self, base_pts, bits):
+        return te_scalar_mul_bits(self, base_pts, bits)
+
     # ------------- host <-> device packing -------------
 
     def pack_points(self, pts) -> np.ndarray:

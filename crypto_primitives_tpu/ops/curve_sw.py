@@ -278,6 +278,15 @@ class SWCurveSpec:
     def dev_to_affine(self, pts):
         return sw_to_affine(self, pts)
 
+    def dev_add(self, p1, p2):
+        return sw_add(self, p1, p2)
+
+    def dev_neg(self, pts):
+        return sw_neg(self, pts)
+
+    def dev_scalar_mul_bits(self, base_pts, bits):
+        return sw_scalar_mul_bits(self, base_pts, bits)
+
 
 def identity(curve: SWCurveSpec, shape=()) -> jnp.ndarray:
     """(0 : 1 : 0) in Montgomery form, shape (..., 3, L)."""

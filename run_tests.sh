@@ -16,9 +16,11 @@ echo "== slow tier 2/4: parallel + pallas =="
 timeout 540 python -m pytest tests/test_parallel.py tests/test_poseidon_pallas.py -q
 echo "== slow tier 3/4: curve rns =="
 timeout 540 python -m pytest tests/test_curve_rns.py -q
-echo "== slow tier 4/4: remaining slow marks =="
+echo "== slow tier 4/5: remaining slow marks =="
 timeout 540 python -m pytest tests/ -q -m "slow" \
   --ignore=tests/test_pedersen.py --ignore=tests/test_parallel.py \
   --ignore=tests/test_poseidon_pallas.py --ignore=tests/test_curve_rns.py \
-  --ignore=tests/test_merkle_pedersen.py
+  --ignore=tests/test_merkle_pedersen.py --ignore=tests/test_sw_primitives.py
+echo "== slow tier 5/5: short-weierstrass primitives =="
+timeout 540 python -m pytest tests/test_sw_primitives.py -q -m "slow"
 echo "ALL TIERS GREEN"
