@@ -143,6 +143,36 @@ def main(num_leaves: int):
     t_pos = timed(create_pos)
     emit("merkle_poseidon_rns_create_2e20", n / t_pos, "leaves/s")
 
+    # ---- Poseidon prove all / verify all ----
+    # (DeviceMerkleTree's gather/verify machinery is hash-generic; the
+    # reference bench runs prove/verify for its configs the same way —
+    # /root/reference/crypto-primitives/benches/merkle_tree.rs:60-125.)
+    ptree = create_pos()
+
+    @jax.jit
+    def pos_prove_all():
+        sib, auth = ptree.proof_rows(idx_all)
+        return jnp.sum(sib.astype(jnp.float32)) + jnp.sum(auth.astype(jnp.float32))
+
+    t_pp = timed(lambda: np.asarray(pos_prove_all()))
+    emit("merkle_poseidon_rns_prove_all_2e20", n / t_pp, "proofs/s")
+
+    p_sib, p_auth = ptree.proof_rows(idx_all)
+    p_dig = ptree.leaf_digests
+    p_root = ptree.root_row()
+
+    @jax.jit
+    def pos_verify_all(p_root, p_dig, p_sib, p_auth):
+        ok = ptree.verify_rows_batch(p_root, p_dig, idx_all, p_sib, p_auth)
+        return jnp.all(ok), jnp.sum(ok)
+
+    pok, _ = pos_verify_all(p_root, p_dig, p_sib, p_auth)
+    assert bool(np.asarray(pok)), "poseidon verification failed!"
+    t_pv = timed(
+        lambda: np.asarray(pos_verify_all(p_root, p_dig, p_sib, p_auth)[1])
+    )
+    emit("merkle_poseidon_rns_verify_all_2e20", n / t_pv, "verifies/s")
+
 
 if __name__ == "__main__":
     main(int(sys.argv[1]) if len(sys.argv) > 1 else 1 << 20)

@@ -67,9 +67,21 @@ def bench_te_add(B):
         return jax.jit(fn)
 
     for name, mk, d in (("rns ", chain_rns, d_rns), ("limb", chain_limb, d_limb)):
-        t0, t1 = timed(mk(K0), d), timed(mk(K1), d)
-        rate = B * (K1 - K0) / max(t1 - t0, 1e-9)
-        print(f"te_add {name} B={B:6d}: {rate/1e6:8.2f}e6 add/s", flush=True)
+        # Adaptive K: widen the chain until the K-delta clears tunnel
+        # timing noise (~5 ms), else the rate is an artifact.
+        k0, k1 = K0, K1
+        for _ in range(6):
+            t0, t1 = timed(mk(k0), d), timed(mk(k1), d)
+            if t1 - t0 > 5e-3:
+                break
+            k0, k1 = k1, 4 * k1
+        else:
+            print(f"te_add {name} B={B:6d}: delta below noise, skipped",
+                  flush=True)
+            continue
+        rate = B * (k1 - k0) / (t1 - t0)
+        print(f"te_add {name} B={B:6d}: {rate/1e6:8.2f}e6 add/s  (K={k0}->{k1})",
+              flush=True)
 
 
 def bench_pedersen(B, nbits=2000, w=3, kernel_ws=(3, 4, 5)):
