@@ -9,9 +9,10 @@ Two tiers (SURVEY.md §7.2):
     (src/sponge/poseidon/tests.rs:12-65); used as the parity oracle and for
     setup-time hashing.
   * ``PoseidonSpongeBatch`` — the TPU path: state is a (batch, t, L) uint32
-    Montgomery limb array; absorb/squeeze schedules are static at trace time
-    so the whole duplex computation jit-compiles to pure array ops with
-    `lax.scan` over rounds.
+    Montgomery limb array, or (batch, t, 2K) float32 RNS-Montgomery residues
+    when the fused RNS kernel is available (the headline 1.1e7 perm/s path;
+    see the class docstring).  Absorb/squeeze schedules are static at trace
+    time so the whole duplex computation jit-compiles to pure array ops.
 """
 
 from __future__ import annotations
@@ -157,6 +158,39 @@ def _bits_le_to_field(bits: jnp.ndarray, spec) -> jnp.ndarray:
     return ff.to_mont_device(spec, std)
 
 
+@functools.cache
+def _rns_supported(spec: FieldSpec) -> bool:
+    """True when ops/rns.py can build an exact plan for this modulus."""
+    try:
+        from crypto_primitives_tpu.ops import rns
+
+        rns.build_plan(spec.p)
+        return True
+    except (AssertionError, ValueError):
+        return False
+
+
+def _sponge_rep(spec: FieldSpec, batch: int) -> str:
+    """Pick the sponge state representation: "rns" rides the fused
+    RNS-Montgomery Pallas kernel (ops/poseidon_rns_pallas.py, the 1.1e7
+    perm/s headline path); "limb" is the uint32 Montgomery fallback.
+    CPT_SPONGE_RNS=0/1 forces either (read per call, like other CPT_*)."""
+    import os
+
+    env = os.environ.get("CPT_SPONGE_RNS", "")
+    if env == "0":
+        return "limb"
+    if not _rns_supported(spec):
+        return "limb"
+    if env == "1":
+        return "rns"
+    return (
+        "rns"
+        if jax.default_backend() == "tpu" and batch >= 64
+        else "limb"
+    )
+
+
 class PoseidonSpongeBatch:
     """Batched duplex sponge on device; static absorb/squeeze schedule.
 
@@ -165,34 +199,100 @@ class PoseidonSpongeBatch:
     away entirely, leaving a fixed sequence of adds/permutes (the TPU
     re-expression of src/sponge/poseidon/mod.rs:124-186).  All methods mirror
     the reference's exact permutation scheduling, quirk included.
+
+    Two state representations behind one API (rep picked by _sponge_rep):
+      * "limb": (..., t, L) uint32 Montgomery limbs, permuted by the XLA
+        scan path or the round-1 limb Pallas kernel;
+      * "rns": (..., t, 2K) float32 RNS-Montgomery residues, permuted by
+        the fused RNS kernel — the headline 1.1e7 perm/s path.  Absorbed
+        limb elements convert at the boundary (rns_xla.from_mont_limbs, one
+        byte matmul + mont_reduce); squeezed elements convert back
+        (rns_xla.to_mont_limbs), so callers see Montgomery limbs either
+        way and results are bit-identical.  Static per-rate-slot value
+        bounds (units of p) are tracked python-side; each slot receives at
+        most one bound-3 add between permutes, so the kernel entry bound
+        (state 3 + elem 3 + ark 1)^2 = 49 stays inside the M1//p = 55
+        Montgomery domain (asserted per permute).
     """
 
-    def __init__(self, config: PoseidonConfig, batch_shape=(), state=None):
+    def __init__(self, config: PoseidonConfig, batch_shape=(), state=None,
+                 rep: Optional[str] = None):
         self.config = config
         self.spec = config.field
         self.packed = config.packed()
         self.batch_shape = tuple(batch_shape)
+        batch = int(np.prod(self.batch_shape)) if self.batch_shape else 1
+        if rep is None:
+            if state is not None:
+                rep = "rns" if state.dtype == jnp.float32 else "limb"
+            else:
+                rep = _sponge_rep(self.spec, batch)
+        self.rep = rep
+        if self.rep == "rns":
+            from crypto_primitives_tpu.ops import rns
+
+            self._plan = rns.build_plan(self.spec.p)
+            self._bounds = [3] * config.t  # conservative for imported state
         if state is None:
-            state = ff.zeros(self.spec, self.batch_shape + (config.t,))
+            if self.rep == "rns":
+                from crypto_primitives_tpu.ops.rns import K as _K
+
+                state = jnp.zeros(
+                    self.batch_shape + (config.t, 2 * _K), jnp.float32
+                )
+                self._bounds = [0] * config.t
+            else:
+                state = ff.zeros(self.spec, self.batch_shape + (config.t,))
         self.state = state
         self.mode = "absorbing"
         self.index = 0  # next_absorb_index or next_squeeze_index
 
     # -- state import/export (SpongeExt twin, src/sponge/mod.rs:184-191) --
     def into_state(self):
-        return {"state": self.state, "mode": self.mode, "index": self.index}
+        st = {
+            "state": self.state,
+            "mode": self.mode,
+            "index": self.index,
+            "rep": self.rep,
+        }
+        if self.rep == "rns":
+            st["bounds"] = list(self._bounds)
+        return st
 
     @classmethod
     def from_state(cls, st, config: PoseidonConfig):
-        sponge = cls(config, batch_shape=st["state"].shape[:-2], state=st["state"])
+        sponge = cls(
+            config,
+            batch_shape=st["state"].shape[:-2],
+            state=st["state"],
+            rep=st.get("rep"),
+        )
         sponge.mode, sponge.index = st["mode"], st["index"]
+        if sponge.rep == "rns" and "bounds" in st:
+            sponge._bounds = list(st["bounds"])
         return sponge
 
     def _permute(self):
-        # On TPU with a reasonable batch, use the fused Pallas kernel
-        # (ops/poseidon_pallas.py); otherwise the XLA path.
         batch = int(np.prod(self.batch_shape)) if self.batch_shape else 1
-        if jax.default_backend() == "tpu" and batch >= 256:
+        if self.rep == "rns":
+            # fused RNS-Montgomery kernel (the 1.1e7 perm/s headline path);
+            # interpreter off-TPU so CPU tests stay bit-exact
+            from crypto_primitives_tpu.ops.poseidon_rns_pallas import permute_rns
+
+            assert max(self._bounds) <= 6, (
+                f"sponge state bound {max(self._bounds)} exceeds the RNS "
+                "kernel entry budget"
+            )
+            blk = 2048 if batch >= 2048 else max(128, batch)
+            st = self.state.reshape((batch,) + self.state.shape[-2:])
+            st = permute_rns(
+                self._plan, self.config, st, block_b=blk,
+                interpret=jax.default_backend() != "tpu",
+            )
+            self.state = st.reshape(self.state.shape)
+            self._bounds = [3] * self.config.t
+        elif jax.default_backend() == "tpu" and batch >= 256:
+            # round-1 fused limb kernel (ops/poseidon_pallas.py)
             from crypto_primitives_tpu.ops.poseidon_pallas import permute_pallas
 
             blk = 1024 if batch >= 1024 else 256
@@ -202,42 +302,60 @@ class PoseidonSpongeBatch:
         else:
             self.state = permute(self.spec, self.packed, self.state)
 
+    def _to_rep(self, elems: jnp.ndarray) -> jnp.ndarray:
+        """Bring absorbed elements into the state representation."""
+        if self.rep == "rns" and elems.dtype != jnp.float32:
+            from crypto_primitives_tpu.ops import rns_xla
+
+            return rns_xla.from_mont_limbs(self._plan, self.spec, elems)
+        if self.rep == "limb" and elems.dtype == jnp.float32:
+            from crypto_primitives_tpu.ops import rns, rns_xla
+
+            plan = rns.build_plan(self.spec.p)
+            return rns_xla.to_mont_limbs(plan, self.spec, elems, bound=3)
+        return elems
+
+    def _slot_add(self, lo: int, hi: int, elems: jnp.ndarray):
+        """state[..., cap+lo:cap+hi, :] += elems in the active rep."""
+        cap = self.config.capacity
+        cur = self.state[..., cap + lo : cap + hi, :]
+        if self.rep == "rns":
+            from crypto_primitives_tpu.ops import rns_xla
+
+            c = rns_xla.plan_consts(self._plan)
+            new = rns_xla.add_raw(c, cur, elems)
+            for i in range(lo, hi):
+                self._bounds[cap + i] += 3
+        else:
+            new = ff.add(self.spec, cur, elems)
+        self.state = self.state.at[..., cap + lo : cap + hi, :].set(new)
+
     def _absorb_internal(self, rate_start: int, elems: jnp.ndarray):
-        """elems: (..., k, L) Montgomery; mirrors absorb_internal
+        """elems: (..., k, D) in the state rep; mirrors absorb_internal
         (src/sponge/poseidon/mod.rs:124-153)."""
-        rate, cap = self.config.rate, self.config.capacity
+        rate = self.config.rate
         k = elems.shape[-2]
         pos = 0
         while True:
             remaining = k - pos
             if rate_start + remaining <= rate:
-                self.state = self.state.at[
-                    ..., cap + rate_start : cap + rate_start + remaining, :
-                ].set(
-                    ff.add(
-                        self.spec,
-                        self.state[..., cap + rate_start : cap + rate_start + remaining, :],
-                        elems[..., pos:, :],
-                    )
+                self._slot_add(
+                    rate_start, rate_start + remaining, elems[..., pos:, :]
                 )
                 self.mode, self.index = "absorbing", rate_start + remaining
                 return
             n = rate - rate_start
-            self.state = self.state.at[..., cap + rate_start : cap + rate, :].set(
-                ff.add(
-                    self.spec,
-                    self.state[..., cap + rate_start : cap + rate, :],
-                    elems[..., pos : pos + n, :],
-                )
-            )
+            self._slot_add(rate_start, rate, elems[..., pos : pos + n, :])
             self._permute()
             pos += n
             rate_start = 0
 
     def absorb(self, elems: jnp.ndarray):
-        """Absorb field elements of shape (..., k, L) (Montgomery form)."""
+        """Absorb field elements of shape (..., k, L) (Montgomery limbs) or
+        (..., k, 2K) float32 (RNS residues, bound <= 3)."""
         if elems.shape[-2] == 0:
             return
+        elems = self._to_rep(elems)
         if self.mode == "absorbing":
             idx = self.index
             if idx == self.config.rate:
@@ -265,9 +383,8 @@ class PoseidonSpongeBatch:
                 self._permute()
             rate_start = 0
 
-    def squeeze_native_field_elements(self, n: int) -> jnp.ndarray:
-        """Returns (..., n, L) Montgomery limbs; mirrors
-        squeeze_native_field_elements (src/sponge/poseidon/mod.rs:324-344)."""
+    def _squeeze_native_rows(self, n: int) -> jnp.ndarray:
+        """(..., n, D) rows in the state representation."""
         if self.mode == "absorbing":
             self._permute()
             return self._squeeze_internal(0, n)
@@ -276,6 +393,25 @@ class PoseidonSpongeBatch:
             self._permute()
             idx = 0
         return self._squeeze_internal(idx, n)
+
+    def squeeze_native_field_elements(self, n: int) -> jnp.ndarray:
+        """Returns (..., n, L) Montgomery limbs; mirrors
+        squeeze_native_field_elements (src/sponge/poseidon/mod.rs:324-344).
+        On the RNS tier the rows convert at this boundary
+        (rns_xla.to_mont_limbs: small-scalar CRT, canonical limbs)."""
+        rows = self._squeeze_native_rows(n)
+        if self.rep == "rns":
+            from crypto_primitives_tpu.ops import rns_xla
+
+            return rns_xla.to_mont_limbs(self._plan, self.spec, rows, bound=3)
+        return rows
+
+    def squeeze_native_rns(self, n: int) -> jnp.ndarray:
+        """RNS-resident squeeze: (..., n, 2K) float32 residues (bound 3),
+        for pipelines that stay on the RNS tier (device Merkle trees,
+        Fiat-Shamir loops); requires rep == "rns"."""
+        assert self.rep == "rns", "squeeze_native_rns requires the RNS tier"
+        return self._squeeze_native_rows(n)
 
     # -- CryptographicSponge byte/bit tier (src/sponge/mod.rs:101-154),
     # -- batched device twins of the host-oracle methods below ------------
@@ -345,9 +481,12 @@ class PoseidonSpongeBatch:
         )
 
         new = PoseidonSpongeBatch(
-            self.config, batch_shape=self.batch_shape, state=self.state
+            self.config, batch_shape=self.batch_shape, state=self.state,
+            rep=self.rep,
         )
         new.mode, new.index = self.mode, self.index
+        if self.rep == "rns":
+            new._bounds = list(self._bounds)
         inp = to_sponge_bytes(Usize(len(domain)), self.spec) + bytes(domain)
         vals = to_sponge_field_elements(inp, self.spec)
         packed = jnp.asarray(self.spec.pack([vals]))[0]  # (k, L)

@@ -318,6 +318,69 @@ def to_mont_limbs(
     cj = cj - c.m1 * (cj >= c.m1)
     lam = jnp.floor(jnp.sum(cj * lam_w, axis=-1) + 0.5)
     scalars = jnp.concatenate([cj, lam[..., None]], axis=-1)  # (..., K+1)
-    lhs = jnp.zeros(scalars.shape + (spec.num_limbs,), jnp.uint32)
-    lhs = lhs.at[..., 0].set(scalars.astype(jnp.uint32))
-    return ff.mont_dot(spec, lhs, rows, axis=-2)
+    # Small-scalar dot: scalars < 2^11 against constant limb rows — the
+    # generic ff.mont_dot would run (K+1) full LxL schoolbooks; here each
+    # product is scalar*limb < 2^27 and the K+1-term sum < 2^31.7, so one
+    # elementwise outer product + ONE Montgomery reduction suffices
+    # (T = sum_j c_j*D_j < 2^16*p, so u = (T + m*p)/R < p + 2^15: a single
+    # conditional subtraction canonicalizes).
+    acc = jnp.sum(
+        scalars[..., None].astype(jnp.uint32) * rows, axis=-2
+    )  # (..., L) relaxed limbs < 2^32
+    L = spec.num_limbs
+    acc = jnp.concatenate(
+        [acc, jnp.zeros(acc.shape[:-1] + (L + 1,), jnp.uint32)], axis=-1
+    )
+    return ff._mont_reduce(spec, acc, num_products=1)
+
+
+# ----------------------------------------------------------------------
+# Device Montgomery-limb -> RNS conversion (the absorb-side boundary)
+# ----------------------------------------------------------------------
+
+
+@functools.cache
+def _limb_rns_consts(plan: rns.RNSPlan, spec) -> np.ndarray:
+    """(2L, 2K) f32 weight matrix for from_mont_limbs: row d holds the
+    residues of (2^(8d) * c' mod p) where c' = R^{-1} * M1^2 mod p converts
+    the limb-Montgomery domain (x*R) into the RNS-Montgomery domain (x*M1)
+    through the mont_reduce that follows.  Base-2 columns carry the tau^2
+    twist of a product pair (mont_reduce's expected input format)."""
+    p = plan.p
+    cprime = pow(spec.R, -1, p) * plan.M1 % p * plan.M1 % p
+    nd = 2 * spec.num_limbs
+    W = np.zeros((nd, 2 * K), np.float32)
+    for d in range(nd):
+        v = (1 << (8 * d)) * cprime % p
+        W[d, :K] = [v % int(m) for m in plan.m1]
+        W[d, K:] = [
+            (v % int(m)) * (int(t) * int(t) % int(m)) % int(m)
+            for m, t in zip(plan.m2, plan.tau)
+        ]
+    return W
+
+
+def from_mont_limbs(plan: rns.RNSPlan, spec, limbs: jnp.ndarray) -> jnp.ndarray:
+    """Montgomery uint32 16-bit limbs (..., L) (value y = x*R mod p, y < 2p)
+    -> RNS residues (..., 2K) f32 of x*M1 mod p, value bound 3 (lazy
+    residues in [0, 2m)).  Inverse of to_mont_limbs.
+
+    One byte-digit matmul against _limb_rns_consts (products < 2^19, sums
+    < 2^24: exact in f32; precision=HIGHEST keeps the MXU pass exact) forms
+    the product-pair W = y*c' < 2^13*p^2/p... < p*M1, then one mont_reduce
+    lands in the RNS-Montgomery domain."""
+    c = plan_consts(plan)
+    W = _limb_rns_consts(plan, spec)
+    lo = (limbs & 0xFF).astype(jnp.float32)
+    hi = ((limbs >> 8) & 0xFF).astype(jnp.float32)
+    digits = jnp.stack([lo, hi], axis=-1).reshape(
+        limbs.shape[:-1] + (2 * spec.num_limbs,)
+    )
+    raw = jax.lax.dot_general(
+        digits,
+        jnp.asarray(W),
+        (((digits.ndim - 1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (..., 2K) exact integers < 2^24
+    w = _red(raw, jnp.asarray(c.inv_m), jnp.asarray(c.m))
+    return mont_reduce(c, w)

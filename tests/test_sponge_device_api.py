@@ -15,8 +15,14 @@ from crypto_primitives_tpu.models.sponge import (
 from crypto_primitives_tpu.ops.fields_known import BLS12_381_FR as FR, JUBJUB_FR
 
 
-@pytest.fixture()
-def pair(rng):
+@pytest.fixture(params=["limb", "rns"])
+def pair(rng, request, monkeypatch):
+    # run every schedule under BOTH state representations: "rns" forces the
+    # fused RNS-kernel tier (pallas interpreter on CPU), which must be
+    # bit-identical to the limb tier and the host oracle
+    monkeypatch.setenv(
+        "CPT_SPONGE_RNS", "1" if request.param == "rns" else "0"
+    )
     cfg = get_default_poseidon_parameters(FR, 2, False)
     B = 3
     vals = [[rng.randrange(FR.p) for _ in range(4)] for _ in range(B)]
@@ -26,6 +32,7 @@ def pair(rng):
         s.absorb_elements(row)
         hosts.append(s)
     dev = PoseidonSpongeBatch(cfg, batch_shape=(B,))
+    assert dev.rep == request.param
     dev.absorb(jnp.asarray(FR.pack(vals)))
     return cfg, hosts, dev
 
@@ -100,3 +107,84 @@ def test_multi_dim_batch_shape_matches_flat(rng):
     got_f = np.asarray(flat.squeeze_native_field_elements(2))
     got_n = np.asarray(nested.squeeze_native_field_elements(2))
     assert got_n.reshape(got_f.shape).tolist() == got_f.tolist()
+
+
+def test_rns_spongeext_roundtrip_mid_schedule(rng, monkeypatch):
+    """SpongeExt on the RNS tier: export/import mid-schedule (pending
+    absorbs not yet permuted) must resume bit-identically, including the
+    static bound bookkeeping carried through into_state."""
+    monkeypatch.setenv("CPT_SPONGE_RNS", "1")
+    cfg = get_default_poseidon_parameters(FR, 2, False)
+    B = 2
+    v1 = [[rng.randrange(FR.p)] for _ in range(B)]
+    v2 = [[rng.randrange(FR.p) for _ in range(2)] for _ in range(B)]
+    a = PoseidonSpongeBatch(cfg, batch_shape=(B,))
+    a.absorb(jnp.asarray(FR.pack(v1)))  # one pending rate slot
+    b = PoseidonSpongeBatch.from_state(a.into_state(), cfg)
+    assert b.rep == "rns" and b._bounds == a._bounds
+    for s in (a, b):
+        s.absorb(jnp.asarray(FR.pack(v2)))
+    ga = np.asarray(a.squeeze_native_field_elements(2))
+    gb = np.asarray(b.squeeze_native_field_elements(2))
+    assert ga.tolist() == gb.tolist()
+    # and both match the host oracle
+    for i in range(B):
+        h = PoseidonSponge(cfg)
+        h.absorb_elements(v1[i])
+        h.absorb_elements(v2[i])
+        assert [int(v) for v in FR.unpack(ga[i])] == (
+            h.squeeze_native_field_elements(2)
+        )
+
+
+def test_poseidon_crh_batch_rns_vs_limb_bitexact(rng, monkeypatch):
+    """The generic CRH batch APIs (models/crh/poseidon.py) must return
+    bit-identical Montgomery limbs on both sponge tiers, and match the
+    host evaluate (reference crh/poseidon/mod.rs:30-79 semantics)."""
+    from crypto_primitives_tpu.models.crh.poseidon import (
+        PoseidonCRH,
+        PoseidonTwoToOneCRH,
+    )
+
+    cfg = get_default_poseidon_parameters(FR, 2, False)
+    crh, two = PoseidonCRH(FR), PoseidonTwoToOneCRH(FR)
+    B = 3
+    ins = [[rng.randrange(FR.p) for _ in range(3)] for _ in range(B)]
+    ls = [rng.randrange(FR.p) for _ in range(B)]
+    rs = [rng.randrange(FR.p) for _ in range(B)]
+    inp = jnp.asarray(FR.pack(ins))
+    l = jnp.asarray(FR.pack([[x] for x in ls]))[:, 0, :]
+    r = jnp.asarray(FR.pack([[x] for x in rs]))[:, 0, :]
+    outs = {}
+    for rep in ("0", "1"):
+        monkeypatch.setenv("CPT_SPONGE_RNS", rep)
+        outs[rep] = (
+            np.asarray(crh.evaluate_batch(cfg, inp)),
+            np.asarray(two.compress_batch(cfg, l, r)),
+        )
+    assert outs["0"][0].tolist() == outs["1"][0].tolist()
+    assert outs["0"][1].tolist() == outs["1"][1].tolist()
+    for i in range(B):
+        assert int(FR.unpack(outs["1"][0][i])) == crh.evaluate(cfg, ins[i])
+        assert int(FR.unpack(outs["1"][1][i])) == two.compress(
+            cfg, ls[i], rs[i]
+        )
+
+
+def test_squeeze_native_rns_matches_limb_output(rng, monkeypatch):
+    """squeeze_native_rns rows, converted through to_mont_limbs, equal the
+    squeeze_native_field_elements limbs of an identical schedule."""
+    from crypto_primitives_tpu.ops import rns, rns_xla
+
+    monkeypatch.setenv("CPT_SPONGE_RNS", "1")
+    cfg = get_default_poseidon_parameters(FR, 2, False)
+    plan = rns.build_plan(FR.p)
+    B = 2
+    vals = [[rng.randrange(FR.p) for _ in range(3)] for _ in range(B)]
+    a = PoseidonSpongeBatch(cfg, batch_shape=(B,))
+    a.absorb(jnp.asarray(FR.pack(vals)))
+    b = PoseidonSpongeBatch.from_state(a.into_state(), cfg)
+    rows = a.squeeze_native_rns(2)
+    limbs = b.squeeze_native_field_elements(2)
+    conv = rns_xla.to_mont_limbs(plan, FR, rows, bound=3)
+    assert np.asarray(conv).tolist() == np.asarray(limbs).tolist()
