@@ -54,12 +54,11 @@ class ElGamal:
 
     def _scalars_to_bits(self, scalars) -> np.ndarray:
         nbits = self.curve.scalar.nbits
-        out = np.zeros((len(scalars), nbits), dtype=np.uint8)
-        for i, v in enumerate(scalars):
-            v = int(v) % self.curve.scalar.p
-            for j in range(nbits):
-                out[i, j] = (v >> j) & 1
-        return out
+        p = self.curve.scalar.p
+        nbytes = (nbits + 7) // 8
+        buf = b"".join((int(v) % p).to_bytes(nbytes, "little") for v in scalars)
+        by = np.frombuffer(buf, np.uint8).reshape(len(scalars), nbytes)
+        return np.unpackbits(by, axis=1, bitorder="little")[:, :nbits]
 
     def encrypt_batch(self, params: ElGamalParameters, pk, messages: List, randomness: List[int]):
         """Batched Enc over B messages/randomness; returns list of ciphertexts."""
@@ -81,9 +80,12 @@ class ElGamal:
                 )
             msgs = jnp.asarray(cr.pack_points_rns(self.curve, list(messages)))
             c2 = cr.te_add_rns(self.curve, msgs, s)
-            c1h = cr.unpack_points_rns(self.curve, np.asarray(c1))
-            c2h = cr.unpack_points_rns(self.curve, np.asarray(c2))
-            return [(tuple(c1h[i]), tuple(c2h[i])) for i in range(B)]
+            # one compact fetch for both components (int16 canonical
+            # base-1 residues of affine coords; see cr.unpack_affine_rns)
+            both = cr.unpack_affine_rns(
+                self.curve, jnp.stack([c1, c2], axis=1)
+            )
+            return [(tuple(both[i, 0]), tuple(both[i, 1])) for i in range(B)]
         gen = jnp.asarray(self.curve.pack_points(params.generator))
         pkd = jnp.asarray(self.curve.pack_points(pk))
         c1 = self.curve.dev_scalar_mul_bits(
@@ -110,7 +112,7 @@ class ElGamal:
             c2 = jnp.asarray(cr.pack_points_rns(self.curve, [c[1] for c in ciphertexts]))
             s = cr.te_scalar_mul_bits_windowed_rns(self.curve, c1, sk_bits)
             m = cr.te_add_rns(self.curve, c2, cr.te_neg_rns(self.curve, s))
-            mh = cr.unpack_points_rns(self.curve, np.asarray(m))
+            mh = cr.unpack_affine_rns(self.curve, m)
             return [tuple(mh[i]) for i in range(B)]
         c1 = jnp.asarray(self.curve.pack_points([c[0] for c in ciphertexts]))
         c2 = jnp.asarray(self.curve.pack_points([c[1] for c in ciphertexts]))

@@ -138,12 +138,11 @@ class Schnorr:
 
     def _scalars_to_bits(self, scalars) -> np.ndarray:
         nbits = self.curve.scalar.nbits
-        out = np.zeros((len(scalars), nbits), dtype=np.uint8)
-        for i, v in enumerate(scalars):
-            v = int(v) % self.curve.scalar.p
-            for j in range(nbits):
-                out[i, j] = (v >> j) & 1
-        return out
+        p = self.curve.scalar.p
+        nbytes = (nbits + 7) // 8
+        buf = b"".join((int(v) % p).to_bytes(nbytes, "little") for v in scalars)
+        by = np.frombuffer(buf, np.uint8).reshape(len(scalars), nbytes)
+        return np.unpackbits(by, axis=1, bitorder="little")[:, :nbits]
 
     def keygen_batch(self, params: SchnorrParameters, rng, n: int):
         """n keypairs with the pk scalar muls batched on device
@@ -152,7 +151,7 @@ class Schnorr:
         if cr.supports_rns(self.curve):
             bits = jnp.asarray(self._scalars_to_bits(sks))
             pts = cr.te_fixed_base_mul_rns(self.curve, params.generator, bits)
-            pks = [tuple(t) for t in cr.unpack_points_rns(self.curve, np.asarray(pts))]
+            pks = [tuple(t) for t in cr.unpack_affine_rns(self.curve, pts)]
         else:
             bits = jnp.asarray(self._scalars_to_bits(sks))
             gen = jnp.asarray(self.curve.pack_points(params.generator))
@@ -163,45 +162,70 @@ class Schnorr:
         return list(zip(pks, sks))
 
     def sign_batch(self, params: SchnorrParameters, sks: List[int],
-                   messages: List[bytes], rng) -> List[SchnorrSignature]:
-        """Batch signing: the per-signature commitments r = k*G run as one
-        fixed-base device program (grouped doubling tables); hashing and
-        the rejection-resample loop finish on host.  Semantics per
-        signature match `sign` (mod.rs:77-115)."""
+                   messages: List[bytes], rng,
+                   candidates: int = 4) -> List[SchnorrSignature]:
+        """Batch signing: all rejection-sampling candidates run as ONE
+        constant-shape fixed-base device program.  Semantics per signature
+        match `sign` (mod.rs:77-115): each message consumes its own stream
+        of k draws in order and keeps the first whose challenge maps into
+        the scalar field.
+
+        ~45% of draws reject for a near-power-of-two modulus, so a
+        round-per-retry scheme costs an expected ~log(B)/log(1/q)
+        sequential device dispatches.  Instead we draw ``candidates`` k's
+        per message up front — one (B*candidates)-row scalar-mul program,
+        shape independent of the rejection pattern — and the ~q^candidates
+        tail (4% of messages at the default 4) falls back to the host
+        reference loop."""
         B = len(sks)
         assert len(messages) == B
         r_order = self.curve.scalar.p
-        pending = list(range(B))
         out: List[SchnorrSignature] = [None] * B
-        while pending:
-            # resample at the FULL batch shape (unused rows get fresh k's
-            # that are simply discarded): ~45% of draws reject for a
-            # 255-bit field, and a shrinking batch would recompile the
-            # device program once per distinct pending count
-            ks = [rng.randrange(r_order) for _ in range(B)]
-            if cr.supports_rns(self.curve):
-                bits = jnp.asarray(self._scalars_to_bits(ks))
-                pts = cr.te_fixed_base_mul_rns(self.curve, params.generator, bits)
-                commits = cr.unpack_points_rns(self.curve, np.asarray(pts))
-            else:
-                commits = [
-                    self.curve.scalar_mul_host(params.generator, ks[i])
-                    for i in pending
-                ]
-                commits = dict(zip(pending, commits))
+
+        def device_round(idxs, C, rows):
+            """One device pass at the FIXED shape of ``rows`` total
+            candidates: C per index in idxs, dummy-padded — every pass
+            reuses the single compiled program regardless of the rejection
+            pattern.  Returns the indexes whose candidates all rejected."""
+            n = len(idxs)
+            ks = [[rng.randrange(r_order) for _ in range(C)] for _ in range(n)]
+            flat = [k for row in ks for k in row]
+            assert len(flat) <= rows
+            pad = rows - len(flat)
+            bits = jnp.asarray(self._scalars_to_bits(flat + [1] * pad))
+            pts = cr.te_fixed_base_mul_rns(self.curve, params.generator, bits)
+            commits = cr.unpack_affine_rns(self.curve, pts)
             still = []
-            for i in pending:
-                c = commits[i]
-                c = tuple(c) if c is not None else None  # SW identity is None
-                e = self._from_random_bytes(
-                    self.digest(self._hash_input(params, c, messages[i]))
-                )
-                if e is None:  # rejection-resample, as the reference loop
+            for row, i in enumerate(idxs):
+                for c in range(C):
+                    pt = tuple(commits[row * C + c])
+                    e = self._from_random_bytes(
+                        self.digest(self._hash_input(params, pt, messages[i]))
+                    )
+                    if e is not None:
+                        s = (ks[row][c] - e * sks[i]) % r_order
+                        out[i] = SchnorrSignature(
+                            prover_response=s, verifier_challenge=e
+                        )
+                        break
+                else:
                     still.append(i)
-                    continue
-                s = (ks[i] - e * sks[i]) % r_order
-                out[i] = SchnorrSignature(prover_response=s, verifier_challenge=e)
-            pending = still
+            return still
+
+        if cr.supports_rns(self.curve) and B > 0:
+            C = max(2, candidates)
+            rows = B * C
+            still = device_round(list(range(B)), C, rows)
+            retries = 0
+            while still and len(still) * 2 * C <= rows and retries < 4:
+                # retry passes for the ~q^C tail at the SAME row shape
+                # (2C candidates each, dummy-padded): zero extra compiles
+                still = device_round(still, 2 * C, rows)
+                retries += 1
+        # host reference loop: the non-RNS tier, plus the (vanishing) tail
+        for i in range(B):
+            if out[i] is None:
+                out[i] = self.sign(params, sks[i], messages[i], rng)
         return out
 
     def verify_batch(self, params: SchnorrParameters, pks: List[Tuple[int, int]],
@@ -218,8 +242,8 @@ class Schnorr:
             # variable-base double-and-add
             sg = cr.te_fixed_base_mul_rns(self.curve, params.generator, s_bits)
             epk = cr.te_scalar_mul_bits_windowed_rns(self.curve, pks_dev, e_bits)
-            r_primes = cr.unpack_points_rns(
-                self.curve, np.asarray(cr.te_add_rns(self.curve, sg, epk))
+            r_primes = cr.unpack_affine_rns(
+                self.curve, cr.te_add_rns(self.curve, sg, epk)
             )
         else:
             gen = jnp.asarray(self.curve.pack_points(params.generator))

@@ -95,6 +95,40 @@ def pack_points_rns(curve, pts) -> np.ndarray:
     return out[0] if single else out
 
 
+@functools.partial(jax.jit, static_argnums=(0,))
+def _affine_r1_compact(curve, pts: jnp.ndarray) -> jnp.ndarray:
+    """Device half of unpack_affine_rns: affine-normalize (batched Fermat),
+    canonicalize base-1 residues to [0, m) and pack to int16 — the minimal
+    fetch format (the axon tunnel moves ~15 MB/s, so device->host bytes
+    dominate batched point APIs; int16 base-1-only is 16x smaller than the
+    f32 extended representation)."""
+    f = curve_field(curve)
+    aff = te_to_affine_rns(curve, pts)  # (..., 2, 2K)
+    r1 = aff[..., :K]
+    m1 = jnp.asarray(f.c.m1)
+    r1 = r1 - m1 * (r1 >= m1)
+    return r1.astype(jnp.int16)
+
+
+def unpack_affine_rns(curve, pts) -> np.ndarray:
+    """Device extended RNS points (..., 4, 2K) -> host affine (x, y) int
+    tuples.  Unlike unpack_points_rns (the oracle-side inverse), the
+    Z-inversions run on device (one batched Fermat chain) and only int16
+    canonical base-1 residues cross the tunnel; host work is one CRT per
+    coordinate."""
+    f = curve_field(curve)
+    host = np.asarray(_affine_r1_compact(curve, pts))  # (..., 2, K) int16
+    vals = rns.from_rns(f.plan, host)
+    p, inv = f.plan.p, pow(f.plan.M1, -1, f.plan.p)
+    flat = vals.reshape(-1, 2)
+    out = np.empty((flat.shape[0],), dtype=object)
+    for i in range(flat.shape[0]):
+        out[i] = (int(flat[i][0]) * inv % p, int(flat[i][1]) * inv % p)
+    if host.ndim == 2:
+        return out[0]
+    return out.reshape(host.shape[:-2])
+
+
 def unpack_points_rns(curve, arr):
     """(..., 4, 2K) -> host affine tuples (oracle-side inverse)."""
     f = curve_field(curve)
