@@ -54,15 +54,20 @@ class PedersenParameters:
     @functools.cache
     def packed_flat_rns(self) -> np.ndarray:
         """Same table in RNS residues (num_windows*window_size, 4, 2K)."""
+        from crypto_primitives_tpu.ops.curve_rns_any import rns_mod
+
         flat = [g for win in self.generators for g in win]
-        return cr.pack_points_rns(self.curve, flat)
+        return rns_mod(self.curve).pack_points_rns(self.curve, flat)
 
     @functools.cache
     def packed_grouped_rns(self, w: int = 3) -> np.ndarray:
-        """Windowed subset-sum tables (G, 2^w, 4, 2K) for the grouped
-        conditional sum (one select replaces w conditional additions)."""
+        """Windowed subset-sum tables (G, 2^w, coords, 2K) for the grouped
+        conditional sum (one select replaces w conditional additions);
+        curve-model dispatched (TE extended / SW projective)."""
+        from crypto_primitives_tpu.ops.curve_rns_any import rns_mod
+
         flat = [g for win in self.generators for g in win]
-        return cr.pack_table_grouped(self.curve, flat, w)
+        return rns_mod(self.curve).pack_table_grouped(self.curve, flat, w)
 
     @functools.cache
     def packed_grouped_kernel(self, w: int = 3) -> np.ndarray:
@@ -150,18 +155,26 @@ class PedersenCRH:
     GROUP_W = 3  # windowed-lookup width for the RNS conditional sum
 
     def evaluate_batch_rns(self, params: PedersenParameters, inputs: jnp.ndarray) -> jnp.ndarray:
-        """inputs (..., nbytes) uint8 -> RNS extended digests (..., 4, 2K)
-        (the fast path: ops/curve_rns.py grouped conditional-sum MSM)."""
+        """inputs (..., nbytes) uint8 -> RNS digests (..., coords, 2K)
+        (the fast path: grouped conditional-sum MSM, curve-model
+        dispatched via ops/curve_rns_any)."""
+        from crypto_primitives_tpu.ops.curve_rns_any import rns_mod
+
         nbytes = inputs.shape[-1]
         assert nbytes * 8 <= self.input_size_bits
         bits = jnp.asarray(bytes_to_bits_batch(np.asarray(inputs), self.input_size_bits))
-        return cr.conditional_sum_grouped_auto(self.curve, params, bits, self.GROUP_W)
+        return rns_mod(self.curve).conditional_sum_grouped_auto(
+            self.curve, params, bits, self.GROUP_W
+        )
 
     def evaluate_batch_extended(self, params: PedersenParameters, inputs: jnp.ndarray) -> jnp.ndarray:
-        """inputs (..., nbytes) uint8 -> extended digests (..., 4, L)."""
-        if cr.supports_rns(self.curve):
+        """inputs (..., nbytes) uint8 -> extended digests (..., coords, L)."""
+        from crypto_primitives_tpu.ops.curve_rns_any import rns_mod
+
+        mod = rns_mod(self.curve)
+        if mod is not None:
             acc = self.evaluate_batch_rns(params, inputs)
-            return cr.to_limb_points(self.curve, acc)
+            return mod.to_limb_points(self.curve, acc)
         nbytes = inputs.shape[-1]
         assert nbytes * 8 <= self.input_size_bits
         bits = jnp.asarray(bytes_to_bits_batch(np.asarray(inputs), self.input_size_bits))

@@ -15,6 +15,7 @@ import numpy as np
 
 from crypto_primitives_tpu.ops import curve as cv
 from crypto_primitives_tpu.ops import curve_rns as cr
+from crypto_primitives_tpu.ops.curve_rns_any import rns_mod
 from crypto_primitives_tpu.ops.curve import TECurveSpec
 
 
@@ -64,28 +65,33 @@ class ElGamal:
         """Batched Enc over B messages/randomness; returns list of ciphertexts."""
         B = len(messages)
         rbits = jnp.asarray(self._scalars_to_bits(randomness))
-        if cr.supports_rns(self.curve):
+        mod = rns_mod(self.curve)
+        if mod is not None:
             # the generator is always worth a cached grouped doubling
             # table; the recipient pk only amortizes its host precompute
             # (~250 doublings + subset sums) over a large batch — for
             # small batches / many distinct recipients use the windowed
             # variable-base path instead of churning the table cache
-            c1 = cr.te_fixed_base_mul_rns(self.curve, params.generator, rbits)
+            c1 = mod.fixed_base_mul_rns(self.curve, params.generator, rbits)
             if B >= 32:
-                s = cr.te_fixed_base_mul_rns(self.curve, tuple(pk), rbits)
+                s = mod.fixed_base_mul_rns(self.curve, tuple(pk), rbits)
             else:
-                pkd = jnp.asarray(cr.pack_points_rns(self.curve, tuple(pk)))
-                s = cr.te_scalar_mul_bits_windowed_rns(
+                pkd = jnp.asarray(mod.pack_points_rns(self.curve, tuple(pk)))
+                s = mod.scalar_mul_bits_windowed_rns(
                     self.curve, jnp.broadcast_to(pkd, (B,) + pkd.shape), rbits
                 )
-            msgs = jnp.asarray(cr.pack_points_rns(self.curve, list(messages)))
-            c2 = cr.te_add_rns(self.curve, msgs, s)
+            msgs = jnp.asarray(mod.pack_points_rns(self.curve, list(messages)))
+            c2 = mod.add_rns(self.curve, msgs, s)
             # one compact fetch for both components (int16 canonical
-            # base-1 residues of affine coords; see cr.unpack_affine_rns)
-            both = cr.unpack_affine_rns(
+            # base-1 residues of affine coords; see unpack_affine_rns)
+            both = mod.unpack_affine_rns(
                 self.curve, jnp.stack([c1, c2], axis=1)
             )
-            return [(tuple(both[i, 0]), tuple(both[i, 1])) for i in range(B)]
+
+            def _t(pt):
+                return tuple(pt) if pt is not None else None
+
+            return [(_t(both[i, 0]), _t(both[i, 1])) for i in range(B)]
         gen = jnp.asarray(self.curve.pack_points(params.generator))
         pkd = jnp.asarray(self.curve.pack_points(pk))
         c1 = self.curve.dev_scalar_mul_bits(
@@ -107,13 +113,14 @@ class ElGamal:
     def decrypt_batch(self, params: ElGamalParameters, sk: int, ciphertexts: List):
         B = len(ciphertexts)
         sk_bits = jnp.asarray(self._scalars_to_bits([sk] * B))
-        if cr.supports_rns(self.curve):
-            c1 = jnp.asarray(cr.pack_points_rns(self.curve, [c[0] for c in ciphertexts]))
-            c2 = jnp.asarray(cr.pack_points_rns(self.curve, [c[1] for c in ciphertexts]))
-            s = cr.te_scalar_mul_bits_windowed_rns(self.curve, c1, sk_bits)
-            m = cr.te_add_rns(self.curve, c2, cr.te_neg_rns(self.curve, s))
-            mh = cr.unpack_affine_rns(self.curve, m)
-            return [tuple(mh[i]) for i in range(B)]
+        mod = rns_mod(self.curve)
+        if mod is not None:
+            c1 = jnp.asarray(mod.pack_points_rns(self.curve, [c[0] for c in ciphertexts]))
+            c2 = jnp.asarray(mod.pack_points_rns(self.curve, [c[1] for c in ciphertexts]))
+            s = mod.scalar_mul_bits_windowed_rns(self.curve, c1, sk_bits)
+            m = mod.add_rns(self.curve, c2, mod.neg_rns(self.curve, s))
+            mh = mod.unpack_affine_rns(self.curve, m)
+            return [tuple(mh[i]) if mh[i] is not None else None for i in range(B)]
         c1 = jnp.asarray(self.curve.pack_points([c[0] for c in ciphertexts]))
         c2 = jnp.asarray(self.curve.pack_points([c[1] for c in ciphertexts]))
         s = self.curve.dev_scalar_mul_bits(c1, sk_bits)

@@ -32,6 +32,7 @@ import numpy as np
 
 from crypto_primitives_tpu.ops import curve as cv
 from crypto_primitives_tpu.ops import curve_rns as cr
+from crypto_primitives_tpu.ops.curve_rns_any import rns_mod
 from crypto_primitives_tpu.ops.curve import TECurveSpec
 
 
@@ -148,10 +149,11 @@ class Schnorr:
         """n keypairs with the pk scalar muls batched on device
         (fixed-base grouped tables); twin of n keygen calls (mod.rs:64-75)."""
         sks = [rng.randrange(self.curve.scalar.p) for _ in range(n)]
-        if cr.supports_rns(self.curve):
+        mod = rns_mod(self.curve)
+        if mod is not None:
             bits = jnp.asarray(self._scalars_to_bits(sks))
-            pts = cr.te_fixed_base_mul_rns(self.curve, params.generator, bits)
-            pks = [tuple(t) for t in cr.unpack_affine_rns(self.curve, pts)]
+            pts = mod.fixed_base_mul_rns(self.curve, params.generator, bits)
+            pks = [tuple(t) for t in mod.unpack_affine_rns(self.curve, pts)]
         else:
             bits = jnp.asarray(self._scalars_to_bits(sks))
             gen = jnp.asarray(self.curve.pack_points(params.generator))
@@ -193,12 +195,13 @@ class Schnorr:
             assert len(flat) <= rows
             pad = rows - len(flat)
             bits = jnp.asarray(self._scalars_to_bits(flat + [1] * pad))
-            pts = cr.te_fixed_base_mul_rns(self.curve, params.generator, bits)
-            commits = cr.unpack_affine_rns(self.curve, pts)
+            pts = mod.fixed_base_mul_rns(self.curve, params.generator, bits)
+            commits = mod.unpack_affine_rns(self.curve, pts)
             still = []
             for row, i in enumerate(idxs):
                 for c in range(C):
-                    pt = tuple(commits[row * C + c])
+                    pt = commits[row * C + c]
+                    pt = tuple(pt) if pt is not None else None
                     e = self._from_random_bytes(
                         self.digest(self._hash_input(params, pt, messages[i]))
                     )
@@ -212,7 +215,8 @@ class Schnorr:
                     still.append(i)
             return still
 
-        if cr.supports_rns(self.curve) and B > 0:
+        mod = rns_mod(self.curve)
+        if mod is not None and B > 0:
             C = max(2, candidates)
             rows = B * C
             still = device_round(list(range(B)), C, rows)
@@ -236,14 +240,15 @@ class Schnorr:
         assert len(pks) == B and len(messages) == B
         s_bits = jnp.asarray(self._scalars_to_bits([s.prover_response for s in sigs]))
         e_bits = jnp.asarray(self._scalars_to_bits([s.verifier_challenge for s in sigs]))
-        if cr.supports_rns(self.curve):
-            pks_dev = jnp.asarray(cr.pack_points_rns(self.curve, list(pks)))
+        mod = rns_mod(self.curve)
+        if mod is not None:
+            pks_dev = jnp.asarray(mod.pack_points_rns(self.curve, list(pks)))
             # s*G is fixed-base (cached grouped doubling table); e*pk is
-            # variable-base double-and-add
-            sg = cr.te_fixed_base_mul_rns(self.curve, params.generator, s_bits)
-            epk = cr.te_scalar_mul_bits_windowed_rns(self.curve, pks_dev, e_bits)
-            r_primes = cr.unpack_affine_rns(
-                self.curve, cr.te_add_rns(self.curve, sg, epk)
+            # variable-base windowed double-and-add
+            sg = mod.fixed_base_mul_rns(self.curve, params.generator, s_bits)
+            epk = mod.scalar_mul_bits_windowed_rns(self.curve, pks_dev, e_bits)
+            r_primes = mod.unpack_affine_rns(
+                self.curve, mod.add_rns(self.curve, sg, epk)
             )
         else:
             gen = jnp.asarray(self.curve.pack_points(params.generator))

@@ -502,3 +502,14 @@ def to_limb_points(curve, pts: jnp.ndarray) -> jnp.ndarray:
     points (..., 4, L) (ops/curve.py representation), on device."""
     f = curve_field(curve)
     return rns_xla.to_mont_limbs(f.plan, curve.base, pts, BOUND)
+
+
+# Curve-model-agnostic aliases (the SW twin ops/curve_sw_rns.py exposes
+# the same names; models dispatch through ops/curve_rns_any.rns_mod)
+add_rns = te_add_rns
+neg_rns = te_neg_rns
+sum_rns = te_sum_rns
+select_rns = te_select_rns
+fixed_base_mul_rns = te_fixed_base_mul_rns
+scalar_mul_bits_windowed_rns = te_scalar_mul_bits_windowed_rns
+to_affine_rns = te_to_affine_rns

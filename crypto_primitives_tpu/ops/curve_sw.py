@@ -181,34 +181,40 @@ class SWCurveSpec:
 
     # ------------- serialization (ark-serialize SWFlags) -------------
 
-    def to_uncompressed_bytes(self, pt) -> bytes:
-        """x || y bigint LE bytes, SWFlags on the final byte
-        (infinity = (0, 0) + the 1<<6 flag)."""
-        if pt is None:
-            data = bytearray(2 * self.base.bigint_bytes)
-            data[-1] |= 0x40
-            return bytes(data)
-        data = bytearray(self.base.to_bytes_le(pt[0]) + self.base.to_bytes_le(pt[1]))
-        if pt[1] > self.base.p - pt[1]:
-            data[-1] |= 0x80
+    @property
+    def swflag_bytes(self) -> int:
+        """ark-serialize buffer_byte_size(MODULUS_BIT_SIZE + 2): the SW
+        flags occupy the top two bits of the LAST byte, which must not
+        collide with modulus data bits — a 255-bit field therefore
+        serializes into 33 bytes, not 32 (381-bit BLS12-381 Fq stays 48)."""
+        return (self.base.nbits + 2 + 7) // 8
+
+    def _field_with_flags(self, v: int, flags: int) -> bytes:
+        data = bytearray(int(v).to_bytes(self.swflag_bytes, "little"))
+        data[-1] |= flags
         return bytes(data)
+
+    def to_uncompressed_bytes(self, pt) -> bytes:
+        """x plain bigint LE bytes, then y with SWFlags on its final byte
+        (infinity = (0, 0) + the 1<<6 flag) — ark-ec 0.4
+        serialize_with_mode(Compress::No)."""
+        if pt is None:
+            return bytes(self.base.bigint_bytes) + self._field_with_flags(0, 0x40)
+        flag = 0x80 if pt[1] > self.base.p - pt[1] else 0
+        return self.base.to_bytes_le(pt[0]) + self._field_with_flags(pt[1], flag)
 
     def serialize_compressed(self, pt) -> bytes:
         """x bytes with SWFlags: 1<<6 if infinity (x = 0), 1<<7 if y is
         "negative" (y > -y), matching ark-serialize flags.rs."""
         if pt is None:
-            data = bytearray(self.base.bigint_bytes)
-            data[-1] |= 0x40
-            return bytes(data)
+            return self._field_with_flags(0, 0x40)
         x, y = pt
-        data = bytearray(self.base.serialize_compressed(x))
-        if y > self.base.p - y:
-            data[-1] |= 0x80
-        return bytes(data)
+        flag = 0x80 if y > self.base.p - y else 0
+        return self._field_with_flags(x, flag)
 
     def deserialize_compressed(self, data: bytes):
         """Inverse of serialize_compressed, validating curve membership."""
-        if len(data) != self.base.bigint_bytes:
+        if len(data) != self.swflag_bytes:
             raise ValueError("bad SW compressed length")
         buf = bytearray(data)
         flags = buf[-1] & 0xC0

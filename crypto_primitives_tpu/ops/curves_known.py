@@ -89,3 +89,31 @@ BLS12_381_G1 = SWCurveSpec(
     ),
 )
 assert BLS12_381_G1.is_on_curve(BLS12_381_G1.generator)
+
+
+# Pallas (the ZCash "pasta" cycle half): y^2 = x^3 + 5 over a 255-bit
+# base field — an SW curve whose modulus FITS the RNS-Montgomery plan
+# (ops/rns.py covers ~256-bit primes), so SW-instantiated primitives get
+# the same fast tier TE curves do (ops/curve_sw_rns.py).  Generator
+# (-1, 2), cofactor 1 (prime order).
+from crypto_primitives_tpu.ops.field import FieldSpec
+
+PALLAS_FP = FieldSpec(
+    "pallas_fp",
+    0x40000000000000000000000000000000224698FC094CF91B992D30ED00000001,
+)
+PALLAS_FQ = FieldSpec(
+    "pallas_fq",
+    0x40000000000000000000000000000000224698FC0994A8DD8C46EB2100000001,
+)
+
+PALLAS = SWCurveSpec(
+    "pallas",
+    base=PALLAS_FP,
+    scalar=PALLAS_FQ,
+    a=0,
+    b=5,
+    cofactor=1,
+    generator=(PALLAS_FP.p - 1, 2),
+)
+assert PALLAS.is_on_curve(PALLAS.generator)

@@ -125,6 +125,89 @@ def read_te_uncompressed(curve: TECurveSpec, r: Reader):
     return (x, y)
 
 
+# -- SW points (ark-serialize SWFlags: infinity = 1<<6, y-negative = 1<<7
+# -- in the top two bits of the last byte; buffer sized for MODULUS_BIT_SIZE
+# -- + 2 flag bits, so a 255-bit field serializes into 33 bytes) -------------
+
+
+def write_sw_compressed(curve, pt) -> bytes:
+    return curve.serialize_compressed(pt)
+
+
+def read_sw_compressed(curve, r: Reader):
+    try:
+        return curve.deserialize_compressed(r.take(curve.swflag_bytes))
+    except ValueError as e:
+        raise SerializationError(str(e))
+
+
+def write_sw_uncompressed(curve, pt) -> bytes:
+    return curve.to_uncompressed_bytes(pt)
+
+
+def read_sw_uncompressed(curve, r: Reader):
+    x = read_field(curve.base, r)
+    buf = bytearray(r.take(curve.swflag_bytes))
+    flags = buf[-1] & 0xC0
+    buf[-1] &= 0x3F
+    y = int.from_bytes(bytes(buf), "little")
+    if flags == 0xC0:
+        raise SerializationError("invalid SW flags")
+    if flags & 0x40:
+        if x != 0 or y != 0:
+            raise SerializationError("bad infinity encoding")
+        return None
+    if y >= curve.base.p:
+        raise SerializationError("y out of range")
+    if (y > curve.base.p - y) != bool(flags & 0x80):
+        raise SerializationError("y sign flag mismatch")
+    if not curve.is_on_curve((x, y)):
+        raise SerializationError("not a curve point")
+    return (x, y)
+
+
+# -- curve-model-generic point codecs (reference digests are generic over
+# -- CurveGroup, src/merkle_tree/mod.rs:139) ---------------------------------
+
+
+def _is_sw(curve) -> bool:
+    from crypto_primitives_tpu.ops.curve_sw import SWCurveSpec
+
+    return isinstance(curve, SWCurveSpec)
+
+
+def write_point_compressed(curve, pt) -> bytes:
+    return (
+        write_sw_compressed(curve, pt)
+        if _is_sw(curve)
+        else write_te_compressed(curve, pt)
+    )
+
+
+def read_point_compressed(curve, r: Reader):
+    return (
+        read_sw_compressed(curve, r)
+        if _is_sw(curve)
+        else read_te_compressed(curve, r)
+    )
+
+
+def write_point_uncompressed(curve, pt) -> bytes:
+    return (
+        write_sw_uncompressed(curve, pt)
+        if _is_sw(curve)
+        else write_te_uncompressed(curve, pt)
+    )
+
+
+def read_point_uncompressed(curve, r: Reader):
+    return (
+        read_sw_uncompressed(curve, r)
+        if _is_sw(curve)
+        else read_te_uncompressed(curve, r)
+    )
+
+
 # -- combinators ----------------------------------------------------------------
 
 
@@ -272,9 +355,9 @@ def deserialize_multipath(data: bytes, leaf_codec, inner_codec):
 def serialize_pedersen_crh_params(params, compressed: bool = True) -> bytes:
     curve = params.curve
     wp = (
-        (lambda pt: write_te_compressed(curve, pt))
+        (lambda pt: write_point_compressed(curve, pt))
         if compressed
-        else (lambda pt: write_te_uncompressed(curve, pt))
+        else (lambda pt: write_point_uncompressed(curve, pt))
     )
     return write_vec(params.generators, lambda win: write_vec(win, wp))
 
@@ -283,9 +366,9 @@ def deserialize_pedersen_crh_params(curve: TECurveSpec, data: bytes, compressed:
     from crypto_primitives_tpu.models.crh.pedersen import PedersenParameters
 
     rp = (
-        (lambda r: read_te_compressed(curve, r))
+        (lambda r: read_point_compressed(curve, r))
         if compressed
-        else (lambda r: read_te_uncompressed(curve, r))
+        else (lambda r: read_point_uncompressed(curve, r))
     )
     r = Reader(data)
     generators = read_vec(r, lambda rr: read_vec(rr, rp))
@@ -296,9 +379,9 @@ def deserialize_pedersen_crh_params(curve: TECurveSpec, data: bytes, compressed:
 def serialize_pedersen_commitment_params(params, compressed: bool = True) -> bytes:
     curve = params.curve
     wp = (
-        (lambda pt: write_te_compressed(curve, pt))
+        (lambda pt: write_point_compressed(curve, pt))
         if compressed
-        else (lambda pt: write_te_uncompressed(curve, pt))
+        else (lambda pt: write_point_uncompressed(curve, pt))
     )
     return write_vec(params.randomness_generator, wp) + write_vec(
         params.generators, lambda win: write_vec(win, wp)
@@ -311,9 +394,9 @@ def deserialize_pedersen_commitment_params(curve: TECurveSpec, data: bytes, comp
     )
 
     rp = (
-        (lambda r: read_te_compressed(curve, r))
+        (lambda r: read_point_compressed(curve, r))
         if compressed
-        else (lambda r: read_te_uncompressed(curve, r))
+        else (lambda r: read_point_uncompressed(curve, r))
     )
     r = Reader(data)
     randomness_generator = read_vec(r, rp)
@@ -327,14 +410,14 @@ def deserialize_pedersen_commitment_params(curve: TECurveSpec, data: bytes, comp
 
 def serialize_schnorr_params(curve: TECurveSpec, params) -> bytes:
     # struct order: generator (affine), salt ([u8; 32] -> raw, no prefix)
-    return write_te_compressed(curve, params.generator) + bytes(params.salt)
+    return write_point_compressed(curve, params.generator) + bytes(params.salt)
 
 
 def deserialize_schnorr_params(curve: TECurveSpec, data: bytes):
     from crypto_primitives_tpu.models.signature.schnorr import SchnorrParameters
 
     r = Reader(data)
-    generator = read_te_compressed(curve, r)
+    generator = read_point_compressed(curve, r)
     salt = r.take(32)
     r.finish()
     return SchnorrParameters(generator=generator, salt=salt)
@@ -358,12 +441,12 @@ def deserialize_schnorr_signature(curve: TECurveSpec, data: bytes):
 
 
 def serialize_public_key(curve: TECurveSpec, pk) -> bytes:
-    return write_te_compressed(curve, pk)
+    return write_point_compressed(curve, pk)
 
 
 def deserialize_public_key(curve: TECurveSpec, data: bytes):
     r = Reader(data)
-    pk = read_te_compressed(curve, r)
+    pk = read_point_compressed(curve, r)
     r.finish()
     return pk
 
@@ -373,12 +456,12 @@ def deserialize_public_key(curve: TECurveSpec, data: bytes):
 
 def serialize_elgamal_ciphertext(curve: TECurveSpec, ct) -> bytes:
     c1, c2 = ct
-    return write_te_compressed(curve, c1) + write_te_compressed(curve, c2)
+    return write_point_compressed(curve, c1) + write_point_compressed(curve, c2)
 
 
 def deserialize_elgamal_ciphertext(curve: TECurveSpec, data: bytes):
     r = Reader(data)
-    c1 = read_te_compressed(curve, r)
-    c2 = read_te_compressed(curve, r)
+    c1 = read_point_compressed(curve, r)
+    c2 = read_point_compressed(curve, r)
     r.finish()
     return (c1, c2)
