@@ -120,6 +120,7 @@ class DeviceMerkleTree:
         inner_levels: List[jnp.ndarray],
         to_host: Callable,
         leaf_convert: Callable = lambda x: x,
+        canonicalize: Callable = None,
     ):
         self.compress_batch = compress_batch
         self.leaf_digests = leaf_digests
@@ -128,6 +129,11 @@ class DeviceMerkleTree:
         # LeafInnerDigestConverter twin (mod.rs:60-88): applied to leaf
         # digests before the bottom inner hash only
         self.leaf_convert = leaf_convert
+        # digest rows -> canonical device rows (identity for byte digests;
+        # RNS trees map lazy residues to canonical Montgomery limbs) so
+        # roots can be compared across processes (utils/canonical.py)
+        # without per-node host round-trips
+        self.canonicalize = canonicalize or (lambda rows: rows)
         self.height = tree_height(int(leaf_digests.shape[0]))
 
     # -- construction ---------------------------------------------------
@@ -141,6 +147,7 @@ class DeviceMerkleTree:
         to_host: Callable,
         leaf_convert: Callable = lambda x: x,
         compress_level_batch: Callable = None,
+        canonicalize: Callable = None,
     ) -> "DeviceMerkleTree":
         n = int(leaves.shape[0])
         assert n > 1 and (n & (n - 1)) == 0
@@ -150,7 +157,8 @@ class DeviceMerkleTree:
             leaf_hash_batch, compress_batch, leaf_convert,
             compress_level_batch,
         )(leaves)
-        return cls(compress_batch, leaf_digests, list(levels), to_host, leaf_convert)
+        return cls(compress_batch, leaf_digests, list(levels), to_host,
+                   leaf_convert, canonicalize)
 
     # -- accessors -------------------------------------------------------
 
@@ -159,6 +167,15 @@ class DeviceMerkleTree:
 
     def root(self):
         return self.to_host(np.asarray(self.root_row()))
+
+    def canonical_root_row(self) -> jnp.ndarray:
+        """Device root in canonical digest form — bit-comparable with a
+        root arriving from another process (deserialized via
+        utils/canonical.py and packed for device), unlike root_row()'s
+        internal representation (RNS trees hold lazy residues that only
+        compare equal within one pipeline).  Twin of Path::verify's root
+        equality (reference mod.rs:207-211) at the canonical layer."""
+        return self.canonicalize(self.root_row())
 
     # -- proofs ----------------------------------------------------------
 
@@ -202,16 +219,33 @@ class DeviceMerkleTree:
         indexes: jnp.ndarray,
         leaf_sib: jnp.ndarray,
         auth: jnp.ndarray,
+        root_canonical: bool = False,
     ) -> jnp.ndarray:
-        """Batched device verification from already-hashed leaf digests;
-        returns (B,) bool (Ok(false)-style, mod.rs:252-294).
+        """Batched device verification from already-hashed leaf digests
+        (use the tree's leaf hash first for raw leaves); returns (B,) bool
+        (Ok(false)-style, mod.rs:252-294).
 
-        Equality is bitwise on digest rows.  SHA byte digests are canonical;
-        RNS digest rows are lazy residues and compare equal only when both
-        sides come through this pipeline (deterministic f32 ops).  For a
-        root received as a canonical field element, compare host-side via
-        to_host(root_row()) instead."""
+        Equality is bitwise on digest rows.  SHA byte digests are always
+        canonical; RNS digest rows are lazy residues that compare equal
+        only within one pipeline — for a root that arrived from ANOTHER
+        process (utils/canonical.py), pass ``root_canonical=True`` with
+        the root in canonical form (e.g. packed Montgomery limbs): the
+        recomputed root is canonicalized on device before the compare, no
+        host round-trips per node."""
         idx = jnp.asarray(indexes, dtype=jnp.int32)
+        B = idx.shape[0]
+        d = self.leaf_digests.shape[1:]
+        if leaf_digests.shape != (B,) + d or leaf_sib.shape != (B,) + d:
+            raise ValueError(
+                f"leaf_digests/leaf_sib must be (B, D) = {(B,) + d} digest "
+                f"rows (got {leaf_digests.shape} / {leaf_sib.shape}); hash "
+                "raw leaves with the tree's leaf hash first"
+            )
+        if auth.ndim != 2 + len(d) or auth.shape[0] != B:
+            raise ValueError(
+                f"auth must be (B, height-2, D) as returned by proof_rows "
+                f"(got {auth.shape})"
+            )
 
         def pick(cond, a, b):
             return jnp.where(cond[..., None], a, b)
@@ -231,6 +265,15 @@ class DeviceMerkleTree:
                 pick(is_left, curr, sib), pick(is_left, sib, curr)
             )
             node = node >> 1
+        if root_canonical:
+            curr = self.canonicalize(curr)
+        if root_row.shape != curr.shape[1:]:
+            raise ValueError(
+                f"root_row must be one digest row of shape {curr.shape[1:]}"
+                f" (got {root_row.shape});"
+                " use canonical_root_row()/root_canonical=True for roots"
+                " from another process"
+            )
         return jnp.all(curr == root_row[None, :], axis=-1)
 
     def multipath_verify_rows(
@@ -416,9 +459,18 @@ def poseidon_rns_device_tree(spec, config, leaf_elements) -> DeviceMerkleTree:
         v = int(rns.from_rns(plan, np.asarray(row)[:K]))
         return v * inv_M1 % spec.p
 
+    from crypto_primitives_tpu.ops import rns_xla
+
+    @jax.jit
+    def canonicalize(rows):
+        # lazy RNS residues -> canonical Montgomery limbs: the device-side
+        # canonical digest form, bit-comparable with spec.pack(root) of a
+        # root deserialized from utils/canonical.py in another process
+        return rns_xla.to_mont_limbs(plan, spec, rows, bound=3)
+
     return DeviceMerkleTree.build(
         leaf_hash, compress, leaf_elements, to_host,
-        compress_level_batch=compress_level,
+        compress_level_batch=compress_level, canonicalize=canonicalize,
     )
 
 

@@ -237,3 +237,26 @@ def test_pedersen_crh_gadget_sw_curve(rng):
     out = gadget.evaluate(cs, params, bytes_to_uint8s(cs, msg))
     assert out.value == native
     assert cs.is_satisfied()
+
+
+def test_schnorr_randomize_pk_gadget_sw(rng):
+    """The curve-generic randomize gadget over an SW curve var
+    (schnorr/constraints.rs:32-59 is generic over GC: CurveVar; Pallas
+    instantiation with SWProjectiveVar)."""
+    from crypto_primitives_tpu.ops.curves_known import PALLAS
+    from crypto_primitives_tpu.r1cs.gadgets.curve import SWProjectiveVar
+
+    scheme = Schnorr(PALLAS)
+    params = scheme.setup(rng)
+    pk, _ = scheme.keygen(params, rng)
+    randomness = bytes(rng.randrange(256) for _ in range(32))
+    native = scheme.randomize_public_key(params, pk, randomness)
+    cs = ConstraintSystem(PALLAS.base)
+    gadget = SchnorrRandomizePkGadget(PALLAS)
+    assert gadget.var_for_curve(PALLAS) is SWProjectiveVar
+    pk_var = SWProjectiveVar.new_witness(cs, PALLAS, pk)
+    out = gadget.randomize(
+        cs, params, pk_var, bytes_to_uint8s(cs, randomness, "witness")
+    )
+    assert out.value == native
+    assert cs.is_satisfied()
