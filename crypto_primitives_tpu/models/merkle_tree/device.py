@@ -503,15 +503,11 @@ def _std_limbs_to_bytes(limbs: jnp.ndarray, nbytes: int) -> jnp.ndarray:
     return by[..., :nbytes]
 
 
-def pedersen_device_tree(
-    curve, leaf_params, two_params, leaf_window, two_window, leaves: jnp.ndarray
-) -> DeviceMerkleTree:
-    """leaves: (n, LB) uint8.  Digest rows are the x||y uncompressed bytes
-    (2*bigint_bytes,) of affine Pedersen outputs; the whole build runs on
-    the RNS fast path (grouped conditional-sum MSM + RNS Fermat
-    normalization), one compiled program per tree.  Host digests (root(),
-    Path fields) are affine (x, y) tuples, interoperable with the generic
-    MerkleTree's PointDigestDomain config."""
+@functools.cache
+def pedersen_tree_fns(curve, leaf_params, two_params, leaf_window, two_window):
+    """(leaf_hash, compress, compress_level, to_host) closures for the
+    RNS-resident Pedersen byte tree — shared by the single-device build
+    and the sharded tier (parallel/merkle_tree_sharded.py)."""
     from crypto_primitives_tpu.models.crh.pedersen import PedersenCRH
     from crypto_primitives_tpu.ops import curve_rns as cr
 
@@ -563,6 +559,21 @@ def pedersen_device_tree(
             int.from_bytes(b[cb : 2 * cb], "little"),
         )
 
+    return leaf_hash, compress, compress_level, to_host
+
+
+def pedersen_device_tree(
+    curve, leaf_params, two_params, leaf_window, two_window, leaves: jnp.ndarray
+) -> DeviceMerkleTree:
+    """leaves: (n, LB) uint8.  Digest rows are the x||y uncompressed bytes
+    (2*bigint_bytes,) of affine Pedersen outputs; the whole build runs on
+    the RNS fast path (grouped conditional-sum MSM + RNS Fermat
+    normalization), one compiled program per tree.  Host digests (root(),
+    Path fields) are affine (x, y) tuples, interoperable with the generic
+    MerkleTree's PointDigestDomain config."""
+    leaf_hash, compress, compress_level, to_host = pedersen_tree_fns(
+        curve, leaf_params, two_params, leaf_window, two_window
+    )
     return DeviceMerkleTree.build(
         leaf_hash, compress, leaves, to_host,
         compress_level_batch=compress_level,
