@@ -72,18 +72,69 @@ class ConstraintSystem:
 
     # -- allocation --
 
-    def new_input(self, value: int) -> int:
+    def new_input(self, value) -> int:
         idx = len(self.assignments)
-        self.assignments.append(value % self.field.p)
+        self.assignments.append(self.v_norm(value))
         self.num_instance += 1
         self._instance_vars.append(idx)
         return idx
 
-    def new_witness(self, value: int) -> int:
+    def new_witness(self, value) -> int:
         idx = len(self.assignments)
-        self.assignments.append(value % self.field.p)
+        self.assignments.append(self.v_norm(value))
         self.num_witness += 1
         return idx
+
+    # -- value arithmetic hooks -------------------------------------------
+    #
+    # Every arithmetic step FpVar/Boolean perform on *assignment values*
+    # routes through these, so the SAME gadget code synthesizes either a
+    # scalar circuit (values = python ints, this class) or N instances at
+    # once (values = batched Montgomery limb arrays,
+    # r1cs/batch.BatchConstraintSystem) — the TPU-first re-expression of
+    # synthesis as a vectorized trace (SURVEY.md §7 plan D).  Constants
+    # remain python ints in BOTH modes (they are instance-independent), so
+    # hooks must accept mixed int/array operands in batch mode.
+
+    def v_norm(self, v):
+        return v % self.field.p
+
+    def v_add(self, a, b):
+        return (a + b) % self.field.p
+
+    def v_scale(self, a, c: int):
+        return (a * c) % self.field.p
+
+    def v_mul(self, a, b):
+        return (a * b) % self.field.p
+
+    def v_inv0(self, a):
+        """Inverse, or 0 for a == 0 (the is_eq witness convention)."""
+        a %= self.field.p
+        return pow(a, -1, self.field.p) if a else 0
+
+    def v_is_zero(self, a):
+        return a % self.field.p == 0
+
+    def v_bits(self, a, nbits: int):
+        assert a < (1 << nbits), "value does not fit requested bits"
+        return [bool((a >> i) & 1) for i in range(nbits)]
+
+    def v_bool(self, b):
+        return bool(b)
+
+    def v_from_bool(self, b):
+        """Boolean value -> field assignment value (0/1)."""
+        return int(bool(b))
+
+    def v_not(self, b):
+        return not b
+
+    def v_and(self, a, b):
+        return bool(a) and bool(b)
+
+    def v_xor(self, a, b):
+        return bool(a) ^ bool(b)
 
     # -- constraints --
 

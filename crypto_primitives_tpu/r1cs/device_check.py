@@ -21,9 +21,11 @@ def _matrix_rows_device(spec, rows_idx, cols_idx, coeffs, z_mont, num_rows):
     """Evaluate <M_i, z> for all rows i; returns (num_rows, L) Montgomery."""
     L = spec.num_limbs
     if len(coeffs) == 0:
-        return jnp.zeros((num_rows, L), jnp.uint32)
+        return jnp.zeros((num_rows,) + z_mont.shape[1:-1] + (L,), jnp.uint32)
     coeff_m = jnp.asarray(spec.pack(list(coeffs)))  # (nnz, L) Montgomery
-    zg = z_mont[jnp.asarray(cols_idx)]  # gather (nnz, L)
+    zg = z_mont[jnp.asarray(cols_idx)]  # gather (nnz, L) or (nnz, N, L)
+    if zg.ndim == 3:  # batched witness matrix (r1cs/batch.py)
+        coeff_m = coeff_m[:, None, :]
     prods = ff.mont_mul(spec, coeff_m, zg)  # mont(coeff * z), canonical
     # relaxed segment sum: canonical 16-bit limbs summed as uint32
     sums = jax.ops.segment_sum(prods, jnp.asarray(rows_idx), num_segments=num_rows)

@@ -112,6 +112,39 @@ class PathVar:
         sib = FpVar.new_witness(cs, native_path.leaf_sibling_hash)
         return cls(cs, path_bits, auth, sib, leaf_is_right)
 
+    @classmethod
+    def new_witness_batch(cls, cs, native_paths) -> "PathVar":
+        """Allocate N same-height Paths as ONE vectorized PathVar on a
+        BatchConstraintSystem (r1cs/batch.py): each position bit becomes an
+        (N,) bool array, each digest an (N, L) Montgomery array — the
+        synthesized structure is identical to new_witness per instance."""
+        import jax.numpy as jnp
+        import numpy as np
+
+        spec = cs.field
+        h = len(native_paths[0].auth_path)
+        assert all(len(p.auth_path) == h for p in native_paths)
+        pos = np.asarray([p.position_list() for p in native_paths], bool)
+        path_bits = [
+            Boolean.new_witness(cs, jnp.asarray(pos[:, i]))
+            for i in range(pos.shape[1] - 1)
+        ]
+        leaf_is_right = Boolean.new_witness(cs, jnp.asarray(pos[:, -1]))
+        auth_cols = spec.pack(
+            [[int(d) for d in p.auth_path] for p in native_paths]
+        )  # (N, h, L)
+        auth = [
+            FpVar.new_witness(cs, jnp.asarray(auth_cols[:, i]))
+            for i in range(h)
+        ]
+        sib = FpVar.new_witness(
+            cs,
+            jnp.asarray(
+                spec.pack([[int(p.leaf_sibling_hash)] for p in native_paths])
+            )[:, 0, :],
+        )
+        return cls(cs, path_bits, auth, sib, leaf_is_right)
+
     def calculate_root(self, leaf_hash_gadget, two_to_one_gadget, leaf: List[FpVar]) -> FpVar:
         """constraints.rs:182-223."""
         cs = self.cs

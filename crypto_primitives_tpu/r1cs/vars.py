@@ -42,14 +42,14 @@ class FpVar:
         return cls(cs, LinearCombination.constant(value, cs.field.p), value, True)
 
     @classmethod
-    def new_input(cls, cs: ConstraintSystem, value: int) -> "FpVar":
+    def new_input(cls, cs: ConstraintSystem, value) -> "FpVar":
         idx = cs.new_input(value)
-        return cls(cs, LinearCombination.single(idx), value % cs.field.p, False)
+        return cls(cs, LinearCombination.single(idx), cs.assignments[idx], False)
 
     @classmethod
-    def new_witness(cls, cs: ConstraintSystem, value: int) -> "FpVar":
+    def new_witness(cls, cs: ConstraintSystem, value) -> "FpVar":
         idx = cs.new_witness(value)
-        return cls(cs, LinearCombination.single(idx), value % cs.field.p, False)
+        return cls(cs, LinearCombination.single(idx), cs.assignments[idx], False)
 
     # -- linear ops (free) --
 
@@ -58,7 +58,7 @@ class FpVar:
         return FpVar(
             self.cs,
             self.lc.add(other.lc, p),
-            (self.value + other.value) % p,
+            self.cs.v_add(self.value, other.value),
             self.const and other.const,
         )
 
@@ -71,7 +71,7 @@ class FpVar:
 
     def scale(self, c: int) -> "FpVar":
         p = self.cs.field.p
-        return FpVar(self.cs, self.lc.scale(c, p), (self.value * c) % p, self.const)
+        return FpVar(self.cs, self.lc.scale(c, p), self.cs.v_scale(self.value, c), self.const)
 
     def add_constant(self, c: int) -> "FpVar":
         return self + FpVar.constant(self.cs, c)
@@ -84,7 +84,7 @@ class FpVar:
             return other.scale(self.value)
         if other.const:
             return self.scale(other.value)
-        prod = (self.value * other.value) % p
+        prod = cs.v_mul(self.value, other.value)
         out = FpVar.new_witness(cs, prod)
         cs.enforce(self.lc, other.lc, out.lc)
         return out
@@ -106,10 +106,9 @@ class FpVar:
 
     def inverse(self) -> "FpVar":
         cs, p = self.cs, self.cs.field.p
-        inv = pow(self.value, -1, p)
         if self.const:
-            return FpVar.constant(cs, inv)
-        out = FpVar.new_witness(cs, inv)
+            return FpVar.constant(cs, pow(self.value, -1, p))
+        out = FpVar.new_witness(cs, cs.v_inv0(self.value))
         cs.enforce(self.lc, out.lc, LinearCombination.constant(1, p))
         return out
 
@@ -118,7 +117,7 @@ class FpVar:
         cs, p = self.cs, self.cs.field.p
         if other.const:
             return self.scale(pow(other.value, -1, p))
-        q = (self.value * pow(other.value, -1, p)) % p
+        q = cs.v_mul(self.value, cs.v_inv0(other.value))
         out = FpVar.new_witness(cs, q)
         cs.enforce(out.lc, other.lc, self.lc)
         return out
@@ -139,11 +138,11 @@ class FpVar:
         d = self - other
         if d.const:
             return Boolean.constant(cs, d.value == 0)
-        eq = d.value == 0
+        eq = cs.v_is_zero(d.value)
         b = Boolean.new_witness(cs, eq)
-        # d * b == 0 ; d * inv + b == 1  (inv arbitrary when d == 0)
-        inv = pow(d.value, -1, p) if not eq else 0
-        iv = FpVar.new_witness(cs, inv)
+        # d * b == 0 ; d * inv + b == 1  (inv arbitrary when d == 0; the
+        # witness convention is inverse-or-zero, batch-identical)
+        iv = FpVar.new_witness(cs, cs.v_inv0(d.value))
         cs.enforce(d.lc, b.fp.lc, LinearCombination.constant(0, p))
         cs.enforce(d.lc, iv.lc, (FpVar.constant(cs, 1) - b.fp).lc)
         return b
@@ -165,8 +164,7 @@ class FpVar:
             nbits = cs.field.nbits
         if self.const:
             return [Boolean.constant(cs, bool((self.value >> i) & 1)) for i in range(nbits)]
-        assert self.value < (1 << nbits), "value does not fit requested bits"
-        bits = [Boolean.new_witness(cs, bool((self.value >> i) & 1)) for i in range(nbits)]
+        bits = [Boolean.new_witness(cs, b) for b in cs.v_bits(self.value, nbits)]
         acc = LinearCombination()
         for i, b in enumerate(bits):
             acc = acc.add(b.fp.lc.scale(1 << i, p), p)
@@ -179,10 +177,10 @@ class Boolean:
 
     __slots__ = ("cs", "fp", "value", "const")
 
-    def __init__(self, cs: ConstraintSystem, fp: FpVar, value: bool, const: bool):
+    def __init__(self, cs: ConstraintSystem, fp: FpVar, value, const: bool):
         self.cs = cs
         self.fp = fp
-        self.value = bool(value)
+        self.value = cs.v_bool(value)
         self.const = const
 
     @classmethod
@@ -190,22 +188,22 @@ class Boolean:
         return cls(cs, FpVar.constant(cs, int(bool(value))), value, True)
 
     @classmethod
-    def new_witness(cls, cs: ConstraintSystem, value: bool) -> "Boolean":
-        fp = FpVar.new_witness(cs, int(bool(value)))
+    def new_witness(cls, cs: ConstraintSystem, value) -> "Boolean":
+        fp = FpVar.new_witness(cs, cs.v_from_bool(value))
         one = FpVar.constant(cs, 1)
         cs.enforce(fp.lc, (one - fp).lc, LinearCombination.constant(0, cs.field.p))
         return cls(cs, fp, value, False)
 
     @classmethod
-    def new_input(cls, cs: ConstraintSystem, value: bool) -> "Boolean":
-        fp = FpVar.new_input(cs, int(bool(value)))
+    def new_input(cls, cs: ConstraintSystem, value) -> "Boolean":
+        fp = FpVar.new_input(cs, cs.v_from_bool(value))
         one = FpVar.constant(cs, 1)
         cs.enforce(fp.lc, (one - fp).lc, LinearCombination.constant(0, cs.field.p))
         return cls(cs, fp, value, False)
 
     def not_(self) -> "Boolean":
         one = FpVar.constant(self.cs, 1)
-        return Boolean(self.cs, one - self.fp, not self.value, self.const)
+        return Boolean(self.cs, one - self.fp, self.cs.v_not(self.value), self.const)
 
     def __and__(self, other: "Boolean") -> "Boolean":
         if self.const:
@@ -213,7 +211,7 @@ class Boolean:
         if other.const:
             return self if other.value else Boolean.constant(self.cs, False)
         fp = self.fp * other.fp
-        return Boolean(self.cs, fp, self.value and other.value, False)
+        return Boolean(self.cs, fp, self.cs.v_and(self.value, other.value), False)
 
     def __or__(self, other: "Boolean") -> "Boolean":
         return (self.not_() & other.not_()).not_()
@@ -227,10 +225,10 @@ class Boolean:
             return other.not_() if self.value else other
         if other.const:
             return self.not_() if other.value else self
-        out = bool(self.value ^ other.value)
+        out = cs.v_xor(self.value, other.value)
         # result needs NO booleanity constraint: a+b-2ab of booleans is
         # boolean by construction (1 constraint total, matching ark)
-        fp = FpVar.new_witness(cs, int(out))
+        fp = FpVar.new_witness(cs, cs.v_from_bool(out))
         cs.enforce(
             self.fp.scale(2).lc,
             other.fp.lc,
