@@ -36,14 +36,18 @@ from crypto_primitives_tpu.ops.rns import DELTA1, DELTA2, DIGIT, K, LAM_SHIFT
 DEFAULT_BLOCK = 1024
 
 
-def _mont_twisted_rows(plan: rns.RNSPlan, v: int, p: int) -> np.ndarray:
-    """Montgomery-form constant as kernel MDS rows: B1 sigma-pre-twisted,
-    B2 tau*c2-pre-twisted (the s1_ready/c2_ready storage format)."""
+def _mont_twisted_rows(
+    plan: rns.RNSPlan, v: int, p: int, twisted: bool = False
+) -> np.ndarray:
+    """Montgomery-form constant as kernel MDS rows: B1 sigma-pre-twisted
+    (sqrt-sigma in the v6.6 twisted domain, where the state carries the
+    other sqrt factor), B2 tau*c2-pre-twisted (s1_ready/c2_ready format)."""
     vm = int(v) % p * plan.M1 % p
     c2i = plan.c2.astype(np.int64)
+    b1_twist = plan.sqrt_sigma if twisted else plan.c_sigma
     r1 = [
         (vm * int(sg)) % int(m)
-        for m, sg in zip(plan.m1, plan.c_sigma.astype(np.int64))
+        for m, sg in zip(plan.m1, b1_twist.astype(np.int64))
     ]
     r2 = [
         (vm * int(tw) % int(m)) * int(cc) % int(m)
@@ -52,7 +56,7 @@ def _mont_twisted_rows(plan: rns.RNSPlan, v: int, p: int) -> np.ndarray:
     return np.asarray(r1 + r2, dtype=np.float32)
 
 
-def _plan_consts(plan: rns.RNSPlan, config, sched=None):
+def _plan_consts(plan: rns.RNSPlan, config, sched=None, twisted=False):
     """Precompute all kernel constant arrays for (field plan, poseidon cfg).
 
     With `sched` (a poseidon_sparse.SparseSchedule), additionally emits the
@@ -65,6 +69,7 @@ def _plan_consts(plan: rns.RNSPlan, config, sched=None):
     # stacked per-base vectors over 2K rows
     inv_all = col(np.concatenate([plan.inv_m1, plan.inv_m2]))
     m_all = col(np.concatenate([plan.m1, plan.m2]))
+    ones = np.ones((K, 1), dtype=np.float32)
     consts = dict(
         inv_all=inv_all,
         m_all=m_all,
@@ -77,13 +82,23 @@ def _plan_consts(plan: rns.RNSPlan, config, sched=None):
         c2=col(plan.c2),
         p2c2=col(plan.p2c2),
         negM1=col(plan.negM1),
-        negM2=col(plan.negM2),
+        # twisted domain: ext2 emits sqrt-sigma-twisted B1 rows directly
+        negM2=col(plan.negM2s if twisted else plan.negM2),
+        sqrt_sigma=col(plan.sqrt_sigma) if twisted else ones,
+        inv_sqrt=col(plan.inv_sqrt_sigma) if twisted else ones,
         ext1_w=plan.ext1_w,  # (2K+3, 2K)
-        ext2_w=plan.ext2_w,
+        ext2_w=plan.ext2s_w if twisted else plan.ext2_w,
     )
     def rns_rows(v: int) -> np.ndarray:
-        """Both-base residue rows: B1 plain, B2 tau-twisted."""
-        r1 = [v % int(m) for m in plan.m1]
+        """Both-base residue rows: B1 plain (sqrt-sigma-twisted in the
+        twisted domain), B2 tau-twisted."""
+        if twisted:
+            r1 = [
+                (v * int(sq)) % int(m)
+                for m, sq in zip(plan.m1, plan.sqrt_sigma.astype(np.int64))
+            ]
+        else:
+            r1 = [v % int(m) for m in plan.m1]
         r2 = [(v * int(tw)) % int(m) for m, tw in zip(plan.m2, plan.tau)]
         return np.asarray(r1 + r2, dtype=np.float32)
 
@@ -96,7 +111,9 @@ def _plan_consts(plan: rns.RNSPlan, config, sched=None):
         out = np.zeros((t, t, 2 * K, 1), dtype=np.float32)
         for i in range(t):
             for j in range(t):
-                out[i, j, :, 0] = _mont_twisted_rows(plan, int(mat[i][j]), p)
+                out[i, j, :, 0] = _mont_twisted_rows(
+                    plan, int(mat[i][j]), p, twisted
+                )
         return out
 
     consts["mds"] = mat_rows(config.mds)
@@ -132,10 +149,16 @@ def _plan_consts(plan: rns.RNSPlan, config, sched=None):
         for r in range(R_P):
             if not sched.is_sparse[r]:
                 continue
-            sp_tab[r, 0, :, 0] = _mont_twisted_rows(plan, sched.sp_m00[r], p)
+            sp_tab[r, 0, :, 0] = _mont_twisted_rows(
+                plan, sched.sp_m00[r], p, twisted
+            )
             for j in range(t - 1):
-                sp_tab[r, 1 + j, :, 0] = _mont_twisted_rows(plan, sched.sp_v[r][j], p)
-                sp_tab[r, t + j, :, 0] = _mont_twisted_rows(plan, sched.sp_w[r][j], p)
+                sp_tab[r, 1 + j, :, 0] = _mont_twisted_rows(
+                    plan, sched.sp_v[r][j], p, twisted
+                )
+                sp_tab[r, t + j, :, 0] = _mont_twisted_rows(
+                    plan, sched.sp_w[r][j], p, twisted
+                )
         consts["sp_tab"] = sp_tab
         consts["mds_pre"] = mat_rows(sched.pre_full)
         dense_slots = sorted(sched.dense_mats)
@@ -148,7 +171,8 @@ def _plan_consts(plan: rns.RNSPlan, config, sched=None):
     return consts
 
 
-def _make_kernel(plan: rns.RNSPlan, config, ablate: str = "", sched=None):
+def _make_kernel(plan: rns.RNSPlan, config, ablate: str = "", sched=None,
+                 twisted: bool = False):
     # ablate: dev-only timing knob (tools/ablate_rns.py) — "nomxu" stubs the
     # extension matmuls, "nored" the recombine reductions, "nosbox"/"nomds"
     # whole stages.  Produces WRONG results; never set in production paths.
@@ -160,7 +184,7 @@ def _make_kernel(plan: rns.RNSPlan, config, ablate: str = "", sched=None):
     rf2 = config.full_rounds // 2
     R_P = config.partial_rounds
     R_T = config.full_rounds + R_P
-    consts = _plan_consts(plan, config, sched)
+    consts = _plan_consts(plan, config, sched, twisted)
     f32 = jnp.float32
 
     def kernel(ark0_ref, arkf_ref, mds_ref, e1w_ref, e2w_ref, vec_ref, *rest_refs):
@@ -182,6 +206,7 @@ def _make_kernel(plan: rns.RNSPlan, config, ablate: str = "", sched=None):
         p2, c2 = v[7, :K], v[8, :K]
         negM1, negM2 = v[9, :K], v[10, :K]
         p2c2 = v[11, :K]
+        sqrt_sigma, inv_sqrt = v[12, :K], v[13, :K]
         e1w = e1w_ref[...]
         e2w = e2w_ref[...]
 
@@ -251,7 +276,11 @@ def _make_kernel(plan: rns.RNSPlan, config, ablate: str = "", sched=None):
             return jnp.concatenate([r1, om], axis=0)
 
         def mont_mul(a, b):
-            return mont_reduce(red(a * b, inv_all, m_all))
+            # twisted domain (v6.6): B1 operands carry sqrt-sigma, so the
+            # reduced product IS the quotient coefficient — the c_sigma
+            # mul + second Barrett red vanish (s1_ready), and ext2s emits
+            # the result already twisted
+            return mont_reduce(red(a * b, inv_all, m_all), s1_ready=twisted)
 
         def sbox(x):
             bits = bin(alpha)[2:]
@@ -363,7 +392,20 @@ def _make_kernel(plan: rns.RNSPlan, config, ablate: str = "", sched=None):
             ],
             axis=1,
         )
-        stk = red(stk + ark0_stk, inv_all, m_all)
+        if twisted:
+            # enter the sqrt-sigma domain: twist the B1 rows of every
+            # element (ark0's B1 rows are pre-twisted), one mul folded
+            # into the entry reduction
+            stk = red(
+                jnp.concatenate(
+                    [stk[:K] * sqrt_sigma, stk[K:]], axis=0
+                )
+                + ark0_stk,
+                inv_all,
+                m_all,
+            )
+        else:
+            stk = red(stk + ark0_stk, inv_all, m_all)
         if sched is None:
             mdsc = mds_ref[...]
             stk = jax.lax.fori_loop(
@@ -400,6 +442,12 @@ def _make_kernel(plan: rns.RNSPlan, config, ablate: str = "", sched=None):
         stk = jax.lax.fori_loop(
             rf2 + R_P, R_T, lambda r, s: round_fn(s, r, True, mdsc), stk
         )
+        if twisted:
+            # leave the sqrt-sigma domain: untwist B1 rows so the external
+            # RNS representation is unchanged
+            stk = jnp.concatenate(
+                [red(stk[:K] * inv_sqrt, inv1, m1), stk[K:]], axis=0
+            )
         out_ref[...] = jnp.concatenate(
             [stk[:, i * B0 : (i + 1) * B0] for i in range(t)], axis=0
         )
@@ -453,11 +501,11 @@ def _sparse_schedule(plan: rns.RNSPlan, config):
 @functools.cache
 def _build_rns_permute(
     plan: rns.RNSPlan, config, block_b: int, interpret: bool, ablate: str = "",
-    sparse: bool = False,
+    sparse: bool = False, twisted: bool = False,
 ):
     t = config.t
     sched = _sparse_schedule(plan, config) if sparse else None
-    kernel, consts = _make_kernel(plan, config, ablate, sched)
+    kernel, consts = _make_kernel(plan, config, ablate, sched, twisted)
 
     # pack the column constants into one (12, 2K, 1) array; base-1-only
     # vectors sit in rows :K with zero padding
@@ -480,6 +528,8 @@ def _build_rns_permute(
             pad2k(consts["negM1"]),
             pad2k(consts["negM2"]),
             pad2k(consts["p2c2"]),
+            pad2k(consts["sqrt_sigma"]),
+            pad2k(consts["inv_sqrt"]),
         ]
     )
 
@@ -546,8 +596,21 @@ SPARSE_DEFAULT = False
 
 
 def permute_rns(plan, config, state, block_b: int = DEFAULT_BLOCK,
-                interpret: bool = False, sparse=None):
-    """Poseidon permutation on RNS-resident state (B, t, 2K) float32."""
+                interpret: bool = False, sparse=None, twisted=None):
+    """Poseidon permutation on RNS-resident state (B, t, 2K) float32.
+
+    twisted (v6.6): run the rounds in the sqrt-sigma-twisted B1 domain
+    (entry/exit twists keep the external representation unchanged).
+    Defaults on whenever the plan carries sqrt_sigma (a SIGMA_QR_BASES
+    field); CPT_DISABLE_SIGMA_TWIST=1 forces the untwisted path."""
     if sparse is None:
         sparse = SPARSE_DEFAULT
-    return _build_rns_permute(plan, config, block_b, interpret, sparse=sparse)(state)
+    if twisted is None:
+        import os
+
+        twisted = plan.sqrt_sigma is not None and not os.environ.get(
+            "CPT_DISABLE_SIGMA_TWIST"
+        )
+    return _build_rns_permute(
+        plan, config, block_b, interpret, sparse=sparse, twisted=twisted
+    )(state)

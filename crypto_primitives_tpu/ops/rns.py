@@ -39,6 +39,28 @@ LAM_SHIFT = 20  # lambda approximation scale
 DELTA1 = -0.0625  # ext1 offset: one-sided (never overestimate lambda)
 DELTA2 = 0.5  # ext2 offset: exact extension
 
+# Pinned base-1/base-2 prime sets whose quotient coefficients sigma_i =
+# -p^{-1} (M1/m_i)^{-1} mod m_i are ALL quadratic residues mod m_i
+# (found by tools/find_sigma_qr_bases.py, a ~2^-K random-restart search).
+# For these fields the plan carries sqrt_sigma, enabling the v6.6
+# sqrt-sigma-twisted s-box domain in the Poseidon kernel: operands stored
+# as y_i = x_i*sqrt(sigma_i) make y_a*y_b the quotient coefficient
+# directly, deleting the per-mont-op c_sigma mul + second Barrett red on
+# the base-1 rows.  Fields not pinned here fall back to the untwisted
+# path (identical semantics, ~7% slower kernel).
+SIGMA_QR_BASES: dict[int, tuple[tuple, tuple]] = {
+    # BLS12-381 Fr (found after 15.7M trials; M1//p=66 keeps the curve
+    # tier's bound_a*bound_b <= 55 mul domain, M2//p=41 > 16 keeps beta=4)
+    52435875175126190479447740508185965837690552500527637822603658699938581184513: (
+        (2039, 2029, 2027, 2003, 1999, 1993, 1979, 1973, 1951, 1949, 1913,
+         1879, 1877, 1873, 1871, 1847, 1831, 1801, 1741, 1721, 1709, 1699,
+         1693, 1663),
+        (2017, 2011, 1997, 1987, 1933, 1931, 1907, 1901, 1889, 1867, 1861,
+         1823, 1811, 1789, 1787, 1783, 1777, 1759, 1753, 1747, 1733, 1723,
+         1697, 1669),
+    ),
+}
+
 
 def _small_primes_desc(bound: int, count: int) -> list[int]:
     out = []
@@ -86,6 +108,14 @@ class RNSPlan:
     ext1_w: np.ndarray  # (K + 1, 3K + 2? ) see build: bf16 matmul weights
     ext2_w: np.ndarray
     mont_one: tuple  # RNS residues of M1 mod p (Montgomery one)
+    # v6.6 sqrt-sigma twisted domain (None unless p is in SIGMA_QR_BASES):
+    # sqrt_sigma_i^2 = c_sigma_i mod m1_i; ext2s_w/negM2s are the ext2
+    # weights with sqrt_sigma folded into each OUTPUT row (the extension
+    # then emits twisted base-1 residues directly)
+    sqrt_sigma: np.ndarray | None = None  # (K,) f32
+    inv_sqrt_sigma: np.ndarray | None = None  # (K,) f32
+    ext2s_w: np.ndarray | None = None
+    negM2s: np.ndarray | None = None
 
     @property
     def rows(self) -> int:
@@ -153,8 +183,13 @@ def _ext_matrix(c_cols: np.ndarray, m_out: np.ndarray, lam_w: np.ndarray):
 
 @functools.cache
 def build_plan(p: int) -> RNSPlan:
-    primes = _small_primes_desc(2048, 2 * K)
-    b1, b2 = primes[0::2], primes[1::2]
+    pinned = SIGMA_QR_BASES.get(p)
+    if pinned is not None:
+        b1, b2 = list(pinned[0]), list(pinned[1])
+        assert len(b1) == K and len(b2) == K
+    else:
+        primes = _small_primes_desc(2048, 2 * K)
+        b1, b2 = primes[0::2], primes[1::2]
     m1 = np.array(b1, dtype=np.int64)
     m2 = np.array(b2, dtype=np.int64)
     M1 = 1
@@ -166,7 +201,7 @@ def build_plan(p: int) -> RNSPlan:
     assert M1 > 16 * p and M2 > 16 * p, "bases too small for beta=4 fixpoint"
     # no-mid-red recombine exactness (see _ext_matrix): X = U0 + 64*U1
     # + lam*negM + ark must stay < 2^24 for all bases
-    mmax = max(primes)
+    mmax = max(max(b1), max(b2))
     xmax = (
         K * (63 * 63 + 63 * 63)  # U0 = d0*c0 + d1*f0
         + 64 * K * (63 * 31 + 63 * (63 + 31))  # 64*U1 = d0*c1 + d1*(c0+f1)
@@ -220,6 +255,29 @@ def build_plan(p: int) -> RNSPlan:
         mmax - 1
     ) < 1 << 24
     mont_one_int = M1 % p
+    sqrt_sigma = inv_sqrt_sigma = ext2s_w = negM2s = None
+    if pinned is not None:
+        # every sigma_i is a QR by construction of the pinned set; take the
+        # smaller root (m < 2^11: brute-force search is instant)
+        roots = []
+        for s, m in zip(c_sigma, b1):
+            r = next(r for r in range(1, m) if r * r % m == int(s))
+            roots.append(min(r, m - r))
+        sq = np.array(roots, dtype=np.int64)
+        inv_sq = np.array([_inv(int(r), m) for r, m in zip(sq, b1)], np.int64)
+        # fold sqrt_sigma into each ext2 OUTPUT row: the extension then
+        # emits twisted base-1 residues (and the lam*negM correction gets
+        # the same per-row scale)
+        C2s = (C2 * sq[:, None]) % m1[:, None]
+        negM2s_i = (negM2 * sq) % m1
+        ext2s_w = _ext_matrix(C2s, m1, lam_w2)
+        u0 = 63.0 * ext2s_w[:K].sum(axis=1)
+        u1 = 63.0 * ext2s_w[K : 2 * K].sum(axis=1)
+        xb = u0 + u1 + (2 * K + 1) * negM2s_i.max() + 2 * mmax
+        assert xb.max() < 1 << 24, f"twisted recombine overflow: {xb.max()}"
+        sqrt_sigma = sq.astype(np.float32)
+        inv_sqrt_sigma = inv_sq.astype(np.float32)
+        negM2s = negM2s_i.astype(np.float32)
     plan = RNSPlan(
         p=p,
         m1=m1,
@@ -238,6 +296,10 @@ def build_plan(p: int) -> RNSPlan:
         ext1_w=ext1_w,
         ext2_w=ext2_w,
         mont_one=(),
+        sqrt_sigma=sqrt_sigma,
+        inv_sqrt_sigma=inv_sqrt_sigma,
+        ext2s_w=ext2s_w,
+        negM2s=negM2s,
     )
     object.__setattr__(plan, "mont_one", to_rns(plan, mont_one_int))
     return plan
@@ -308,7 +370,7 @@ def _ext(plan: RNSPlan, s, W, negM, inv_out, m_out, delta, extra=None):
 
 
 def mont_reduce_np(plan: RNSPlan, w, ark2=None, s1_ready=False,
-                   c2_ready=False, w1_lazy=False):
+                   c2_ready=False, w1_lazy=False, b1_twisted=False):
     """Montgomery-reduce a residue pair (w1, w2 tau^2-twisted) representing
     an integer W < p*M1: returns residues of W*M1^{-1} mod p (value < 3p).
 
@@ -338,7 +400,12 @@ def mont_reduce_np(plan: RNSPlan, w, ark2=None, s1_ready=False,
     if ark2 is not None:
         om_pre = F(om_pre + F(ark2))
     omega = red(om_pre, plan.inv_m2, F(plan.m2))
-    r1 = _ext(plan, omega, plan.ext2_w, plan.negM2, plan.inv_m1, F(plan.m1), DELTA2)
+    if b1_twisted:  # emit sqrt-sigma-twisted base-1 residues (v6.6)
+        r1 = _ext(plan, omega, plan.ext2s_w, plan.negM2s, plan.inv_m1,
+                  F(plan.m1), DELTA2)
+    else:
+        r1 = _ext(plan, omega, plan.ext2_w, plan.negM2, plan.inv_m1,
+                  F(plan.m1), DELTA2)
     return r1, omega
 
 
@@ -349,6 +416,28 @@ def mont_mul_np(plan: RNSPlan, a, b):
     w1 = red(F(a1) * F(b1), plan.inv_m1, F(plan.m1))
     w2 = red(F(a2) * F(b2), plan.inv_m2, F(plan.m2))
     return mont_reduce_np(plan, (w1, w2))
+
+
+def twist_b1_np(plan: RNSPlan, r1):
+    """Plain base-1 residues -> sqrt-sigma-twisted (v6.6 domain entry)."""
+    return red(F(r1) * plan.sqrt_sigma, plan.inv_m1, F(plan.m1))
+
+
+def untwist_b1_np(plan: RNSPlan, r1):
+    """Twisted base-1 residues -> plain (v6.6 domain exit)."""
+    return red(F(r1) * plan.inv_sqrt_sigma, plan.inv_m1, F(plan.m1))
+
+
+def mont_mul_np_twisted(plan: RNSPlan, a, b):
+    """mont_mul in the twisted domain: base-1 halves of a and b carry the
+    sqrt-sigma twist, so the reduced product IS the quotient coefficient
+    (no c_sigma mul / second red); the result's base-1 half comes out
+    twisted via ext2s_w."""
+    a1, a2 = a
+    b1, b2 = b
+    w1 = red(F(a1) * F(b1), plan.inv_m1, F(plan.m1))
+    w2 = red(F(a2) * F(b2), plan.inv_m2, F(plan.m2))
+    return mont_reduce_np(plan, (w1, w2), s1_ready=True, b1_twisted=True)
 
 
 def add_np(plan: RNSPlan, a, b):

@@ -176,3 +176,93 @@ def test_sparse_run_len_gate(plan):
         run = run + 1 if b else 0
         assert run <= L
     assert sum(sched.is_sparse) >= cfg.partial_rounds * 2 // 3
+
+
+# ---------------- v6.6 sqrt-sigma twisted domain ----------------
+
+
+def test_sigma_qr_plan_fields(plan):
+    """BLS12-381 Fr is pinned in SIGMA_QR_BASES: the plan carries a valid
+    sqrt_sigma (square roots of c_sigma), twisted ext2 weights, and keeps
+    the curve tier's M1//p >= 55 mul domain."""
+    assert P in rns.SIGMA_QR_BASES
+    assert plan.sqrt_sigma is not None
+    for r, s, m in zip(
+        plan.sqrt_sigma.astype(np.int64),
+        plan.c_sigma.astype(np.int64),
+        plan.m1,
+    ):
+        assert int(r) * int(r) % int(m) == int(s)
+    for r, ri, m in zip(
+        plan.sqrt_sigma.astype(np.int64),
+        plan.inv_sqrt_sigma.astype(np.int64),
+        plan.m1,
+    ):
+        assert int(r) * int(ri) % int(m) == 1
+    assert plan.M1 // plan.p >= 55  # curve_rns bound algebra survives
+    assert plan.M2 > 16 * plan.p
+
+
+def test_mont_mul_twisted_matches_plain(plan, rng):
+    """mont_mul in the sqrt-sigma domain == plain mont_mul after
+    untwisting, over random and edge values."""
+    vals = [0, 1, P - 1, 2 * P] + [rng.randrange(4 * P) for _ in range(20)]
+    for x in vals:
+        y = rng.randrange(4 * P)
+        a, b = rns.to_rns(plan, x), rns.to_rns(plan, y)
+        at = (rns.twist_b1_np(plan, a[0]), a[1])
+        bt = (rns.twist_b1_np(plan, b[0]), b[1])
+        r1t, omt = rns.mont_mul_np_twisted(plan, at, bt)
+        r1 = rns.untwist_b1_np(plan, r1t)
+        got = int(rns.from_rns(plan, r1)) % P
+        assert got == x * y * pow(plan.M1, -1, P) % P
+        # B2 halves agree with the plain path bit-exactly
+        r1p, omp = rns.mont_mul_np(plan, a, b)
+        assert np.array_equal(np.asarray(omt), np.asarray(omp))
+        # twisted residues stay in the lazy domain for chaining
+        assert np.all(np.asarray(r1t) < 2 * np.asarray(plan.m1))
+
+
+@pytest.mark.parametrize("rate", [2, 3, 8])
+def test_rns_kernel_twisted_interpret_matches_oracle(plan, rng, rate):
+    """The twisted kernel (explicit twisted=True) and the untwisted one
+    (twisted=False) both match the host oracle bit-for-bit; external RNS
+    representation is unchanged by the twist."""
+    cfg = get_default_poseidon_parameters(FR, rate, False)
+    B = 3
+    states = [[rng.randrange(P) for _ in range(cfg.t)] for _ in range(B)]
+    r1, r2 = to_mont_rns(plan, states)
+    dev = jnp.asarray(np.concatenate([r1, r2], axis=-1), dtype=jnp.float32)
+    out_t = np.asarray(
+        permute_rns(plan, cfg, dev, block_b=128, interpret=True, twisted=True)
+    )
+    out_u = np.asarray(
+        permute_rns(plan, cfg, dev, block_b=128, interpret=True, twisted=False)
+    )
+    for out in (out_t, out_u):
+        got = from_mont_rns(plan, out[..., : rns.K])
+        for i in range(B):
+            oracle = PoseidonSponge(cfg)
+            oracle.state = list(states[i])
+            oracle.permute()
+            assert [int(v) for v in got[i]] == oracle.state
+
+
+def test_rns_kernel_twisted_sparse_interpret(plan, rng):
+    """Twist + v6.5 sparse schedule compose."""
+    cfg = get_default_poseidon_parameters(FR, 2, False)
+    states = [[rng.randrange(P) for _ in range(cfg.t)] for _ in range(3)]
+    r1, r2 = to_mont_rns(plan, states)
+    dev = jnp.asarray(np.concatenate([r1, r2], axis=-1), dtype=jnp.float32)
+    out = np.asarray(
+        permute_rns(
+            plan, cfg, dev, block_b=128, interpret=True, sparse=True,
+            twisted=True,
+        )
+    )
+    got = from_mont_rns(plan, out[..., : rns.K])
+    for i in range(3):
+        oracle = PoseidonSponge(cfg)
+        oracle.state = list(states[i])
+        oracle.permute()
+        assert [int(v) for v in got[i]] == oracle.state

@@ -70,11 +70,14 @@ def bench_te_add(B):
         # Adaptive K: widen the chain until the K-delta clears tunnel
         # timing noise (~5 ms), else the rate is an artifact.
         k0, k1 = K0, K1
+        t0 = timed(mk(k0), d)
         for _ in range(6):
-            t0, t1 = timed(mk(k0), d), timed(mk(k1), d)
+            t1 = timed(mk(k1), d)
             if t1 - t0 > 5e-3:
                 break
-            k0, k1 = k1, 4 * k1
+            # k1's timing becomes the next iteration's k0 measurement —
+            # don't re-time the identical chain length
+            k0, k1, t0 = k1, 4 * k1, t1
         else:
             print(f"te_add {name} B={B:6d}: delta below noise, skipped",
                   flush=True)

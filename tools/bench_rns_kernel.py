@@ -7,6 +7,8 @@ reduced fetch — see PERFORMANCE.md for why (axon tunnel does not sync).
 import sys
 import time
 
+sys.path.insert(0, "/root/repo")
+
 import jax
 if jax.default_backend() != "cpu":
         jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache_tpu")
@@ -21,10 +23,14 @@ from crypto_primitives_tpu.ops.fields_known import BLS12_381_FR as FR
 from crypto_primitives_tpu.ops.poseidon_rns_pallas import _build_rns_permute
 
 
-def sweep(block_b, B, K0=4, K1=20, sparse=False):
+def sweep(block_b, B, K0=4, K1=20, sparse=False, twisted=None):
     cfg = get_default_poseidon_parameters(FR, 2, False)
     plan = rns.build_plan(FR.p)
-    perm = _build_rns_permute(plan, cfg, block_b, False, sparse=sparse)
+    if twisted is None:
+        twisted = plan.sqrt_sigma is not None
+    perm = _build_rns_permute(
+        plan, cfg, block_b, False, sparse=sparse, twisted=twisted
+    )
     state = jnp.zeros((B, cfg.t, 2 * rns.K), jnp.float32)
 
     def many(k):
@@ -44,7 +50,7 @@ def sweep(block_b, B, K0=4, K1=20, sparse=False):
 
     t0, t1 = timed(many(K0)), timed(many(K1))
     pps = B * (K1 - K0) / max(t1 - t0, 1e-9)
-    tag = "sparse" if sparse else "dense "
+    tag = ("sparse" if sparse else "dense ") + ("+tw" if twisted else "   ")
     print(f"{tag} block={block_b:5d} B={B:6d}  {pps/1e6:7.2f}e6 perm/s", flush=True)
     return pps
 
@@ -70,11 +76,12 @@ if __name__ == "__main__":
         else [False] if "--dense" in sys.argv
         else [False, True]  # v6.4 dense vs v6.5 sparse side by side
     )
+    twisted = False if "--notwist" in sys.argv else None
     for sparse in modes:
         best = 0.0
         for blk, B in combos:
             try:
-                best = max(best, sweep(blk, B, sparse=sparse))
+                best = max(best, sweep(blk, B, sparse=sparse, twisted=twisted))
             except Exception as e:
                 print(f"block={blk} B={B} sparse={sparse} FAILED: "
                       f"{type(e).__name__}: {e}", flush=True)
