@@ -46,9 +46,13 @@ def main():
         )
 
         plan = rns.build_plan(FR.p)
+        # v6.6: run in the sqrt-sigma twisted domain when the plan carries
+        # a pinned QR base (bit-exact; tests/test_poseidon_rns.py)
+        tw = plan.sqrt_sigma is not None
         perm_variants = [
-            ("dense", _build_rns_permute(plan, cfg, 2048, False)),
-            ("sparse", _build_rns_permute(plan, cfg, 2048, False, sparse=True)),
+            ("dense", _build_rns_permute(plan, cfg, 2048, False, twisted=tw)),
+            ("sparse", _build_rns_permute(
+                plan, cfg, 2048, False, sparse=True, twisted=tw)),
         ]
         perm = perm_variants[0][1]
     else:
