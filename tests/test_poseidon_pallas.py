@@ -39,10 +39,12 @@ def test_pallas_kernel_padding(rng):
     assert [int(v) for v in FR.unpack(out[2])] == oracle.state
 
 
-@pytest.mark.parametrize("rate", [3, 4, 5, 6, 7, 8])
+@pytest.mark.parametrize("rate", [3, 8])
 def test_pallas_kernel_wide_rates(rng, rate):
     """t=4 and t=9 exercise the chunked MDS matmul and the 8-digit
-    compression pass (f32-exactness bounds)."""
+    compression pass (f32-exactness bounds); the interior rates add no
+    new layout regime (each costs ~45s of XLA:CPU interpret time — the
+    RNS-kernel tier covers rates 2-8 in tests/test_poseidon_rns.py)."""
     cfg = get_default_poseidon_parameters(FR, rate, False)
     states = [[rng.randrange(FR.p) for _ in range(cfg.t)] for _ in range(2)]
     dev = jnp.asarray(FR.pack(states))
