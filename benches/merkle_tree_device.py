@@ -149,7 +149,10 @@ def main(num_leaves: int):
     # /root/reference/crypto-primitives/benches/merkle_tree.rs:60-125.)
     ptree = create_pos()
 
-    @jax.jit
+    # NOTE: not jitted — wrapping this in jax.jit would capture the
+    # 2^21 x 48 f32 retained levels as baked constants (~400 MB program,
+    # rejected by the remote-compile tunnel with HTTP 413); the eager
+    # per-level gathers are the realistic serving path anyway.
     def pos_prove_all():
         sib, auth = ptree.proof_rows(idx_all)
         return jnp.sum(sib.astype(jnp.float32)) + jnp.sum(auth.astype(jnp.float32))

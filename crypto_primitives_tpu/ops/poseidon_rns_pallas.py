@@ -580,7 +580,9 @@ def _build_rns_permute(
             # rejects larger blocks (more temporaries since the v6.4
             # pair-grouped MDS).  64 MiB leaves double-buffering headroom.
             compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=64 * 1024 * 1024
+                vmem_limit_bytes=64 * 1024 * 1024,
+                # batch blocks are independent: let Mosaic overlap them
+                dimension_semantics=("parallel",),
             ),
             interpret=interpret,
         )(*[jnp.asarray(a) for a in const_arrays], st)
