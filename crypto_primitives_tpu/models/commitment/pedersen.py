@@ -90,6 +90,12 @@ class PedersenCommitment:
         if len(input_) > self.window.window_size * self.window.num_windows:
             raise ValueError(f"incorrect input length: {len(input_)}")
         result = self.crh.evaluate(params.crh_params(), bytes(input_))
+        from crypto_primitives_tpu import native
+
+        eng = native.curve_engine(self.curve)
+        if eng is not None:
+            blind = eng.scalar_mul(params.randomness_generator[0], int(randomness))
+            return eng.add(result, blind) if blind is not None else result
         r = int(randomness)
         for power in params.randomness_generator:
             if r == 0:

@@ -70,6 +70,15 @@ class PedersenParameters:
         return rns_mod(self.curve).pack_table_grouped(self.curve, flat, w)
 
     @functools.cache
+    def packed_native(self) -> np.ndarray:
+        """Same flat table packed for the C++ host engine's bit-table MSM
+        (native/cpmont.cpp cpm_*_msm_bits_batch)."""
+        from crypto_primitives_tpu import native
+
+        flat = [g for win in self.generators for g in win]
+        return native.curve_engine(self.curve).pack_table(flat)
+
+    @functools.cache
     def packed_grouped_kernel(self, w: int = 3) -> np.ndarray:
         """Same tables in the fused Pallas kernel layout (digit planes,
         twisted residues, d folded into T; ops/msm_rns_pallas.py)."""
@@ -141,8 +150,18 @@ class PedersenCRH:
         return bytes(data) + b"\x00" * (padded_length - len(data))
 
     def evaluate(self, params: PedersenParameters, input_: bytes) -> Tuple[int, int]:
-        """Host tier: exact mirror of mod.rs:76-129."""
+        """Host tier: exact mirror of mod.rs:76-129.  Single-op calls ride
+        the compiled C++ bit-table MSM when the native engine is loaded
+        (python-int fallback below stays the oracle; CPT_NATIVE=0 forces it)."""
+        from crypto_primitives_tpu import native
+
         data = self._check_and_pad(bytes(input_))
+        if native.curve_engine(self.curve) is not None:
+            eng = native.curve_engine(self.curve)
+            bits_arr = np.unpackbits(
+                np.frombuffer(data, np.uint8), bitorder="little"
+            )[None, :]
+            return eng.msm_bits(params.packed_native(), bits_arr)[0]
         bits = bytes_to_bits(data)
         acc = self.curve.zero_host()
         for w in range(self.window.num_windows):

@@ -526,6 +526,19 @@ class PoseidonSponge:
         return s
 
     def permute(self):
+        """Compiled C++ permutation when the native engine is loaded (the
+        reference's native tier is compiled Rust; ours is native/cpmont.cpp),
+        python-int rounds otherwise.  CPT_NATIVE=0 forces the python path,
+        which stays the parity oracle (_permute_python)."""
+        from crypto_primitives_tpu import native
+
+        eng = native.poseidon_engine(self.config)
+        if eng is not None:
+            self.state = eng.permute([self.state])[0]
+            return
+        self._permute_python()
+
+    def _permute_python(self):
         cfg, p = self.config, self.p
         state = list(self.state)
         rf2 = cfg.full_rounds // 2

@@ -85,6 +85,18 @@ class TECurveSpec:
         return ((-p1[0]) % self.base.p, p1[1])
 
     def scalar_mul_host(self, pt, k: int):
+        """Single scalar mul on host: compiled C++ engine when loaded (the
+        reference's per-op path is compiled Rust; ours is native/cpmont.cpp),
+        python-int double-and-add otherwise (and always under CPT_NATIVE=0,
+        keeping the oracle reachable for cross-model tests)."""
+        from crypto_primitives_tpu import native
+
+        eng = native.curve_engine(self)
+        if eng is not None:
+            return eng.scalar_mul(pt, int(k))
+        return self._scalar_mul_py(pt, k)
+
+    def _scalar_mul_py(self, pt, k: int):
         k = int(k)
         assert k >= 0
         acc = (0, 1)

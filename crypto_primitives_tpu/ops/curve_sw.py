@@ -141,14 +141,13 @@ class SWCurveSpec:
         return (p1[0], (-p1[1]) % self.base.p)
 
     def scalar_mul_host(self, pt, k: int):
-        acc, base = None, pt
-        k %= self.scalar.p
-        while k:
-            if k & 1:
-                acc = self.add_host(acc, base)
-            base = self.double_host(base)
-            k >>= 1
-        return acc
+        """Single scalar mul (mod r) on host: compiled C++ engine when
+        loaded, python-int double-and-add otherwise (CPT_NATIVE=0 keeps the
+        oracle reachable for cross-model tests)."""
+        return self.scalar_mul_host_any(pt, int(k) % self.scalar.p)
+
+    def _scalar_mul_py(self, pt, k: int):
+        return self._scalar_mul_py_any(pt, int(k) % self.scalar.p)
 
     def sqrt_host(self, n: int) -> Optional[int]:
         return _tonelli(n, self.base.p)
@@ -171,6 +170,14 @@ class SWCurveSpec:
 
     def scalar_mul_host_any(self, pt, k: int):
         """Scalar mul by an arbitrary positive int (no mod-r reduction)."""
+        from crypto_primitives_tpu import native
+
+        eng = native.curve_engine(self)
+        if eng is not None:
+            return eng.scalar_mul(pt, int(k))
+        return self._scalar_mul_py_any(pt, k)
+
+    def _scalar_mul_py_any(self, pt, k: int):
         acc, base = None, pt
         while k:
             if k & 1:
