@@ -160,12 +160,14 @@ def _bits_le_to_field(bits: jnp.ndarray, spec) -> jnp.ndarray:
 
 @functools.cache
 def _rns_supported(spec: FieldSpec) -> bool:
-    """True when ops/rns.py can build an exact plan for this modulus."""
+    """True when ops/rns.py can build a plan the fused Poseidon kernel
+    accepts (the kernel hard-codes the legacy 2x24 geometry; big mid-red
+    plans exist only for curve base fields, which no sponge runs over)."""
     try:
         from crypto_primitives_tpu.ops import rns
 
-        rns.build_plan(spec.p)
-        return True
+        plan = rns.build_plan(spec.p)
+        return plan.k == rns.K and not plan.mid_red
     except (AssertionError, ValueError):
         return False
 

@@ -104,7 +104,7 @@ def _affine_r1_compact(curve, pts: jnp.ndarray) -> jnp.ndarray:
     f32 extended representation)."""
     f = curve_field(curve)
     aff = te_to_affine_rns(curve, pts)  # (..., 2, 2K)
-    r1 = aff[..., :K]
+    r1 = aff[..., : f.plan.k]
     m1 = jnp.asarray(f.c.m1)
     r1 = r1 - m1 * (r1 >= m1)
     return r1.astype(jnp.int16)
@@ -147,7 +147,7 @@ def unpack_points_rns(curve, arr):
 
 def identity_rns(curve, shape=()) -> jnp.ndarray:
     _, _, ident = _curve_consts(curve)
-    return jnp.broadcast_to(ident, shape + (4, 2 * K))
+    return jnp.broadcast_to(ident, shape + ident.shape)
 
 
 @functools.partial(jax.jit, static_argnums=(0,))
@@ -170,7 +170,7 @@ def te_add_rns(curve, p1: jnp.ndarray, p2: jnp.ndarray) -> jnp.ndarray:
     A, B, TT, D, S = (r1[..., i, :] for i in range(5))
     # round 2 (curve constants): C = d*TT, aA = a*A
     consts = jnp.broadcast_to(
-        jnp.stack([cd, ca], axis=0), A.shape[:-1] + (2, 2 * K)
+        jnp.stack([cd, ca], axis=0), A.shape[:-1] + (2, A.shape[-1])
     )
     r2 = rns_xla.mul_raw(f.c, jnp.stack([TT, A], axis=-2), consts)
     C, aA = r2[..., 0, :], r2[..., 1, :]
@@ -275,7 +275,8 @@ def pack_table_grouped(curve, pts, w: int = 3) -> np.ndarray:
     relative to CPU selects — on the VPU the economics invert)."""
     combos = subset_groups(curve, pts, w)
     flat = [pt for grp in combos for pt in grp]
-    return pack_points_rns(curve, flat).reshape(len(combos), 1 << w, 4, 2 * K)
+    k = curve_field(curve).plan.k
+    return pack_points_rns(curve, flat).reshape(len(combos), 1 << w, 4, 2 * k)
 
 
 _KERNEL_PROBE: dict = {}
@@ -294,6 +295,11 @@ def grouped_kernel_ok(curve) -> bool:
         or not supports_rns(curve)
         or os.environ.get("CPT_DISABLE_MSM_KERNEL") == "1"
     ):
+        return False
+    plan = rns.build_plan(curve.base.p)
+    if plan.k != K or plan.mid_red:
+        # the fused kernel hard-codes the legacy 2x24 geometry; big-plan
+        # curves (>=300-bit bases) ride the XLA grouped path
         return False
     ok = _KERNEL_PROBE.get(curve)
     if ok is None:
@@ -360,7 +366,7 @@ def te_conditional_sum_grouped_rns(
         end = min(start + chunk, G)
         cb = combos[start:end]  # (C, 2^w, 4, 2K)
         ix = idx[..., start:end]  # (..., C)
-        sel = jnp.broadcast_to(cb[:, 0], batch + (end - start, 4, 2 * K))
+        sel = jnp.broadcast_to(cb[:, 0], batch + cb[:, 0].shape)
         for e in range(1, 1 << w):
             sel = jnp.where((ix == e)[..., None, None], cb[:, e], sel)
         acc = te_add_rns(curve, acc, te_sum_rns(curve, sel))

@@ -127,7 +127,7 @@ def sw_add_rns(curve, p1: jnp.ndarray, p2: jnp.ndarray) -> jnp.ndarray:
     s_yz, _ = f.sub(*f.sub(C, M, m1, M), m2, M)
     consts = jnp.broadcast_to(
         jnp.asarray(np.stack([a_c, b3_c, a_c, b3_c, a_c, a2_c])),
-        m0.shape[:-1] + (6, 2 * K),
+        m0.shape[:-1] + (6, m0.shape[-1]),
     )
     vars_ = jnp.stack([s_xz, m2, m2, s_xz, m0, m2], axis=-2)
     r2, _ = f.mul(vars_, b_s, consts, 1)  # 9x1
@@ -208,7 +208,8 @@ def _pack_table_grouped_cached(curve, pts: tuple, w: int) -> np.ndarray:
     groups = subset_groups(curve, list(pts), w)
     flat = [pt for grp in groups for pt in grp]
     arr = pack_points_rns(curve, flat)  # (G*2^w, 3, 2K)
-    return arr.reshape(len(groups), 1 << w, 3, 2 * K)
+    k = curve_field(curve).plan.k
+    return arr.reshape(len(groups), 1 << w, 3, 2 * k)
 
 
 def pack_table_grouped(curve, pts, w: int = 3) -> np.ndarray:
@@ -237,7 +238,7 @@ def sw_conditional_sum_grouped_rns(
         end = min(start + chunk, G)
         cb = combos[start:end]
         ix = idx[..., start:end]
-        sel = jnp.broadcast_to(cb[:, 0], batch + (end - start, 3, 2 * K))
+        sel = jnp.broadcast_to(cb[:, 0], batch + cb[:, 0].shape)
         for e in range(1, 1 << w):
             sel = jnp.where((ix == e)[..., None, None], cb[:, e], sel)
         acc = sw_add_rns(curve, acc, sw_sum_rns(curve, sel))
@@ -340,7 +341,7 @@ def _affine_r1_compact_sw(curve, pts: jnp.ndarray) -> jnp.ndarray:
     products vanish — unambiguous for curves with b != 0."""
     f = curve_field(curve)
     xy = sw_to_affine_rns(curve, pts)  # (..., 2, 2K)
-    r1 = xy[..., :K]
+    r1 = xy[..., : f.plan.k]
     m1 = jnp.asarray(f.c.m1)
     r1 = r1 - m1 * (r1 >= m1)
     return r1.astype(jnp.int16)

@@ -116,13 +116,23 @@ class RNSPlan:
     inv_sqrt_sigma: np.ndarray | None = None  # (K,) f32
     ext2s_w: np.ndarray | None = None
     negM2s: np.ndarray | None = None
+    # geometry (round 4): K=24/ls=20/mid_red=False is the legacy ~268-bit
+    # plan the Pallas kernels hard-code; bigger moduli (e.g. the 381-bit
+    # BLS12-381 G1 base field) get k > 24 residues per base, a larger
+    # lambda shift, and a mid Barrett reduction of the extension's U1
+    # digit block (the 64-fold would overflow the 2^24 f32-exact budget
+    # at k > 24 — see _ext_matrix)
+    k: int = K
+    ls: int = LAM_SHIFT
+    mid_red: bool = False
 
     @property
     def rows(self) -> int:
-        return 2 * K
+        return 2 * self.k
 
 
-def _ext_matrix(c_cols: np.ndarray, m_out: np.ndarray, lam_w: np.ndarray):
+def _ext_matrix(c_cols: np.ndarray, m_out: np.ndarray, lam_w: np.ndarray,
+                ls: int = LAM_SHIFT, fold64: bool = True):
     """Build the digit-split extension matmul weights (folded-S2 form).
 
     Input vector (per batch lane): [s_d0 (K rows); s_d1 (K rows)] — the two
@@ -155,15 +165,20 @@ def _ext_matrix(c_cols: np.ndarray, m_out: np.ndarray, lam_w: np.ndarray):
     # U0 = d0 @ c0.T + d1 @ f0.T
     W[0:k_out, 0:k_in] = c0
     W[0:k_out, k_in : 2 * k_in] = f0
-    # U1 = d0 @ (64*c1).T + d1 @ (64*(c0 + f1)).T  (scale folded in)
-    W[k_out : 2 * k_out, 0:k_in] = 64.0 * c1
-    W[k_out : 2 * k_out, k_in : 2 * k_in] = 64.0 * (c0 + f1)
+    # U1 = d0 @ c1.T + d1 @ (c0 + f1).T; fold64 pre-scales the rows by the
+    # 64 recombine factor (legacy K=24 plans: the X accumulation then needs
+    # no mid reduction).  Big plans (fold64=False) keep raw U1 rows — the
+    # 64-fold would push the f32 matmul accumulation past 2^24 at k > 24 —
+    # and Barrett-reduce U1 before the 64-scale recombine (plan.mid_red).
+    scale_u1 = 64.0 if fold64 else 1.0
+    W[k_out : 2 * k_out, 0:k_in] = scale_u1 * c1
+    W[k_out : 2 * k_out, k_in : 2 * k_in] = scale_u1 * (c0 + f1)
     # lambda rows with the recombine scales folded in as power-of-two
     # factors (exact in bf16/f32: same mantissas, shifted exponents), so the
     # kernel computes lam_v = L0 + L1 + L2 with two adds and no scaling:
     #   L0 = 2^-S * d0@w0;  L1 = 2^-S*64 * (d0@w1 + d1@w0);
-    #   L2 = 2^-S*4096 * d1@w1          (S = LAM_SHIFT)
-    sc = 2.0**-LAM_SHIFT
+    #   L2 = 2^-S*4096 * d1@w1          (S = ls)
+    sc = 2.0**-ls
     W[2 * k_out, 0:k_in] = w0 * sc
     W[2 * k_out + 1, 0:k_in] = w1 * (64 * sc)
     W[2 * k_out + 1, k_in : 2 * k_in] = w0 * (64 * sc)
@@ -173,23 +188,47 @@ def _ext_matrix(c_cols: np.ndarray, m_out: np.ndarray, lam_w: np.ndarray):
     assert np.all(W >= 0)
     u0 = W[:k_out]
     assert np.all(u0 < 128) and np.all(u0 == np.floor(u0))
-    u1 = W[k_out : 2 * k_out] / 64.0
+    u1 = W[k_out : 2 * k_out] / scale_u1
     assert np.all(u1 < 128) and np.all(u1 == np.floor(u1))
-    lam_ints = W[2 * k_out :] * 2.0**LAM_SHIFT
+    lam_ints = W[2 * k_out :] * 2.0**ls
     assert np.all(lam_ints == np.floor(lam_ints))
     assert np.all((w0 < 64) & (w1 < 64))
     return W
 
 
+def _geometry(p: int):
+    """Pick (k, ls, mid_red, b1, b2) for a modulus.
+
+    The legacy K=24 / ls=20 / fold64 geometry covers odd primes to ~2^264
+    (M1, M2 > 16p) and is what the fused Pallas kernels hard-code.  Bigger
+    moduli (up to ~2^19 bits of product headroom, in practice the 381-bit
+    BLS12-381 G1 base field and anything else < ~2^430) get more residues
+    per base, ls=22 (the lambda estimate error k*2^11/2^ls must stay under
+    the 1/16 one-sided delta budget), and the mid-red extension variant."""
+    pinned = SIGMA_QR_BASES.get(p)
+    if pinned is not None:
+        return K, LAM_SHIFT, False, list(pinned[0]), list(pinned[1])
+    primes = _small_primes_desc(2048, 2 * K)
+    b1, b2 = primes[0::2], primes[1::2]
+    prod = lambda xs: functools.reduce(lambda a, b: a * b, xs, 1)
+    if prod(b1) > 16 * p and prod(b2) > 16 * p:
+        return K, LAM_SHIFT, False, b1, b2
+    # big geometry: grow k until BOTH interleaved bases clear the margin.
+    # M1 needs extra headroom: curve tiers need bound_a*bound_b <= M1//p
+    # (TE HWCD peaks at 54), so demand M1 > 64p.
+    for k in range(K + 4, 45, 4):
+        primes = _small_primes_desc(2048, 2 * k)
+        b1, b2 = primes[0::2], primes[1::2]
+        if prod(b1) > 64 * p and prod(b2) > 16 * p:
+            assert min(b1 + b2) > 1024, "11-bit prime pool exhausted"
+            return k, 22, True, b1, b2
+    raise AssertionError(f"modulus too large for the RNS prime pool: {p.bit_length()} bits")
+
+
 @functools.cache
 def build_plan(p: int) -> RNSPlan:
     pinned = SIGMA_QR_BASES.get(p)
-    if pinned is not None:
-        b1, b2 = list(pinned[0]), list(pinned[1])
-        assert len(b1) == K and len(b2) == K
-    else:
-        primes = _small_primes_desc(2048, 2 * K)
-        b1, b2 = primes[0::2], primes[1::2]
+    k, ls, mid_red, b1, b2 = _geometry(p)
     m1 = np.array(b1, dtype=np.int64)
     m2 = np.array(b2, dtype=np.int64)
     M1 = 1
@@ -199,16 +238,29 @@ def build_plan(p: int) -> RNSPlan:
     for m in b2:
         M2 *= m
     assert M1 > 16 * p and M2 > 16 * p, "bases too small for beta=4 fixpoint"
-    # no-mid-red recombine exactness (see _ext_matrix): X = U0 + 64*U1
-    # + lam*negM + ark must stay < 2^24 for all bases
     mmax = max(max(b1), max(b2))
-    xmax = (
-        K * (63 * 63 + 63 * 63)  # U0 = d0*c0 + d1*f0
-        + 64 * K * (63 * 31 + 63 * (63 + 31))  # 64*U1 = d0*c1 + d1*(c0+f1)
-        + (2 * K + 1) * mmax  # lam*negM
-        + 2 * mmax  # folded ark
-    )
-    assert xmax < 1 << 24, f"recombine overflow: {xmax}"
+    if not mid_red:
+        # no-mid-red recombine exactness (see _ext_matrix): X = U0 + 64*U1
+        # + lam*negM + ark must stay < 2^24 for all bases
+        xmax = (
+            k * (63 * 63 + 63 * 63)  # U0 = d0*c0 + d1*f0
+            + 64 * k * (63 * 31 + 63 * (63 + 31))  # 64*U1 = d0*c1 + d1*(c0+f1)
+            + (2 * k + 1) * mmax  # lam*negM
+            + 2 * mmax  # folded ark
+        )
+        assert xmax < 1 << 24, f"recombine overflow: {xmax}"
+    else:
+        # mid-red variant: the U0 / raw-U1 matmul outputs must each be
+        # f32-exact, and X = U0 + 64*red(U1) + lam*negM + extra < 2^24
+        umax = 2 * k * 63 * 127
+        assert umax < 1 << 24, f"ext matmul overflow: {umax}"
+        xmax = umax + 64 * (2 * mmax - 1) + (2 * k + 1) * mmax + 2 * mmax
+        assert xmax < 1 << 24, f"recombine overflow: {xmax}"
+    # lambda estimate error: per-term rounding of round(2^ls/m) is
+    # <= 2^-(ls+1), times lazy residues < 2^12, over k terms — must stay
+    # inside the one-sided DELTA1 = 1/16 budget (with slack for the f32
+    # matmul accumulation rounding of the lambda rows)
+    assert k * (1 << 11) / (1 << ls) < 0.06, "lambda error budget exceeded"
     inv_m1 = np.nextafter((1.0 / m1).astype(np.float32), np.float32(0))
     inv_m2 = np.nextafter((1.0 / m2).astype(np.float32), np.float32(0))
     c_sigma = np.array(
@@ -229,15 +281,22 @@ def build_plan(p: int) -> RNSPlan:
     p2c2 = (p2 * c2) % m2
     C2 = np.array([[(M2 // mj) % mi for mj in b2] for mi in b1], dtype=np.int64)
     negM2 = np.array([(-M2) % m for m in b1], dtype=np.int64)
-    lam_w1 = np.array([round(2**LAM_SHIFT / m) for m in b1], dtype=np.int64)
-    lam_w2 = np.array([round(2**LAM_SHIFT / m) for m in b2], dtype=np.int64)
-    ext1_w = _ext_matrix(C1, m2, lam_w1)
-    ext2_w = _ext_matrix(C2, m1, lam_w2)
-    # exact recombine bound per output row: digits <= 63, lam <= 2K+1
+    lam_w1 = np.array([round(2**ls / m) for m in b1], dtype=np.int64)
+    lam_w2 = np.array([round(2**ls / m) for m in b2], dtype=np.int64)
+    fold64 = not mid_red
+    ext1_w = _ext_matrix(C1, m2, lam_w1, ls, fold64)
+    ext2_w = _ext_matrix(C2, m1, lam_w2, ls, fold64)
+    # exact recombine bound per output row: digits <= 63, lam <= 2k+1
     for Wm, nM in ((ext1_w, negM1), (ext2_w, negM2)):
-        u0 = 63.0 * Wm[:K].sum(axis=1)
-        u1 = 63.0 * Wm[K : 2 * K].sum(axis=1)  # 64 scale already in weights
-        xb = u0 + u1 + (2 * K + 1) * nM.max() + 2 * mmax
+        u0 = 63.0 * Wm[:k].sum(axis=1)
+        u1 = 63.0 * Wm[k : 2 * k].sum(axis=1)
+        if mid_red:
+            # U0 and raw U1 are separate f32-exact matmul outputs; X sums
+            # U0 with the REDUCED U1 (< 2m) under the 64 scale
+            assert max(u0.max(), u1.max()) < 1 << 24, "ext matmul overflow"
+            xb = u0 + 64.0 * (2 * mmax - 1) + (2 * k + 1) * nM.max() + 2 * mmax
+        else:
+            xb = u0 + u1 + (2 * k + 1) * nM.max() + 2 * mmax
         assert xb.max() < 1 << 24, f"recombine overflow: {xb.max()}"
     # c2_ready/lazy-MDS bound (poseidon_rns_pallas.mds_ark): a pair-grouped
     # accumulation leaves w lazy <= (2m-1)*m; the omega stage then adds
@@ -300,6 +359,9 @@ def build_plan(p: int) -> RNSPlan:
         inv_sqrt_sigma=inv_sqrt_sigma,
         ext2s_w=ext2s_w,
         negM2s=negM2s,
+        k=k,
+        ls=ls,
+        mid_red=mid_red,
     )
     object.__setattr__(plan, "mont_one", to_rns(plan, mont_one_int))
     return plan
@@ -309,20 +371,21 @@ def to_rns(plan: RNSPlan, x) -> tuple[np.ndarray, np.ndarray]:
     """Python int (or array of objects) -> (r1, r2) f32 residues, r2
     tau-twisted.  NOT Montgomery: pass x*M1 %% p yourself for Mont form."""
     xs = np.asarray(x, dtype=object).reshape(-1)
-    r1 = np.empty((len(xs), K), dtype=np.float32)
-    r2 = np.empty((len(xs), K), dtype=np.float32)
+    k = plan.k
+    r1 = np.empty((len(xs), k), dtype=np.float32)
+    r2 = np.empty((len(xs), k), dtype=np.float32)
     for n, v in enumerate(xs):
         v = int(v)
         r1[n] = [v % int(m) for m in plan.m1]
         r2[n] = [(v * int(t)) % int(m) for m, t in zip(plan.m2, plan.tau)]
     shape = np.asarray(x, dtype=object).shape
-    return r1.reshape(shape + (K,)), r2.reshape(shape + (K,))
+    return r1.reshape(shape + (k,)), r2.reshape(shape + (k,))
 
 
 def from_rns(plan: RNSPlan, r1: np.ndarray):
     """Base-1 residues -> python ints mod M1 (callers reduce mod p)."""
     r = np.asarray(r1, dtype=np.int64)
-    flat = r.reshape(-1, K)
+    flat = r.reshape(-1, plan.k)
     out = np.empty(flat.shape[0], dtype=object)
     pre = [
         (plan.M1 // int(m)) * _inv(plan.M1 // int(m), int(m)) for m in plan.m1
@@ -354,16 +417,21 @@ def _ext(plan: RNSPlan, s, W, negM, inv_out, m_out, delta, extra=None):
     represented integer (+ {0,1} * M_src for ext1's one-sided delta).
 
     Folded-S2 recombine (see _ext_matrix): X = U0 + 64*U1 + lam*negM
-    (+ extra) is < ~12.6M < 2^24, f32-exact — no mid Barrett red."""
+    (+ extra) is < ~12.6M < 2^24, f32-exact — no mid Barrett red.  Big
+    (mid_red) plans carry raw U1 rows instead and Barrett-reduce U1 before
+    the 64-scale recombine (X < ~1.1M, still exact)."""
+    k = plan.k
     s = F(s)
     s0 = F(np.floor(s * F(2.0**-DIGIT)))
     d0 = F(s - s0 * F(2.0**DIGIT))  # low digit
     x = np.concatenate([d0, s0], axis=-1)  # (..., 2K)
     out = F(x @ W.T.astype(np.float32))  # kernel: bf16 matmul, f32 accum
-    U0, U1 = out[..., :K], out[..., K : 2 * K]
-    L0, L1, L2 = out[..., 2 * K], out[..., 2 * K + 1], out[..., 2 * K + 2]
+    U0, U1 = out[..., :k], out[..., k : 2 * k]
+    L0, L1, L2 = out[..., 2 * k], out[..., 2 * k + 1], out[..., 2 * k + 2]
     lam = np.floor(F(F(L0 + L1) + L2) + F(delta))[..., None]  # scales in W
-    X = F(F(U0 + U1) + F(lam) * F(negM))  # U1's 64 scale folded in W
+    if plan.mid_red:
+        U1 = F(F(2.0**DIGIT) * red(U1, inv_out, m_out))
+    X = F(F(U0 + U1) + F(lam) * F(negM))  # else U1's 64 scale folded in W
     if extra is not None:
         X = F(X + F(extra))
     return red(X, inv_out, m_out)

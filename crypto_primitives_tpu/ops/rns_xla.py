@@ -61,12 +61,16 @@ class RnsConsts(NamedTuple):
     negM2: np.ndarray  # (K,)
     ext1_w: np.ndarray  # (2K, 2K+3) bf16 (transposed for x @ W)
     ext2_w: np.ndarray  # (2K, 2K+3) bf16
+    k: int = K  # residues per base (plan geometry)
+    mid_red: bool = False  # big-plan extension variant (rns._ext)
 
 
 @functools.cache
 def plan_consts(plan: rns.RNSPlan) -> RnsConsts:
     f32 = np.float32
     return RnsConsts(
+        k=plan.k,
+        mid_red=plan.mid_red,
         m=np.concatenate([plan.m1, plan.m2]).astype(f32),
         inv_m=np.concatenate([plan.inv_m1, plan.inv_m2]).astype(f32),
         m1=plan.m1.astype(f32),
@@ -116,6 +120,7 @@ def _ext(
     weights (ints < 2^8 times powers of two) are bf16-exact, so the MXU
     pass is exact regardless of accumulation order.
     """
+    k = c.k
     s0 = jnp.floor(s * (2.0**-DIGIT))
     d0 = s - s0 * (2.0**DIGIT)
     x = jnp.concatenate([d0, s0], axis=-1).astype(jnp.bfloat16)  # (..., 2K)
@@ -123,10 +128,14 @@ def _ext(
         x, W, (((x.ndim - 1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # (..., 2K+3)
-    U0, U1 = out[..., :K], out[..., K : 2 * K]
+    U0, U1 = out[..., :k], out[..., k : 2 * k]
     lam = jnp.floor(
-        (out[..., 2 * K] + out[..., 2 * K + 1]) + out[..., 2 * K + 2] + delta
+        (out[..., 2 * k] + out[..., 2 * k + 1]) + out[..., 2 * k + 2] + delta
     )
+    if c.mid_red:
+        # big plans: raw U1 rows — reduce before the 64-scale recombine
+        # (the folded form would overflow the f32-exact budget at k > 24)
+        U1 = (2.0**DIGIT) * _red(U1, inv_out, m_out)
     X = (U0 + U1) + lam[..., None] * negM
     return _red(X, inv_out, m_out)
 
@@ -139,7 +148,7 @@ def mont_reduce(c: RnsConsts, w: jnp.ndarray) -> jnp.ndarray:
     w2*c2 is Barrett-reduced before adding qh*p2c2 (bound
     (2m-1) + (2m-1)(m-1) < 2^24, still exact).
     """
-    w1, w2 = w[..., :K], w[..., K:]
+    w1, w2 = w[..., : c.k], w[..., c.k :]
     s1 = _red(w1 * c.c_sigma, c.inv_m1, c.m1)
     qh = _ext(c, s1, c.ext1_w, c.negM1, c.inv_m2, c.m2, DELTA1)
     om_pre = _red(w2 * c.c2, c.inv_m2, c.m2) + qh * c.p2c2
@@ -196,12 +205,12 @@ class RnsField:
     def unpack(self, arr) -> np.ndarray:
         """Device residues -> python ints in the plain domain (mod p)."""
         a = np.asarray(arr)
-        vals = rns.from_rns(self.plan, a[..., :K])
+        vals = rns.from_rns(self.plan, a[..., : self.plan.k])
         p, inv = self.plan.p, pow(self.plan.M1, -1, self.plan.p)
         return np.vectorize(lambda v: int(v) * inv % p, otypes=[object])(vals)
 
     def zeros(self, shape=()) -> jnp.ndarray:
-        return jnp.zeros(shape + (2 * K,), jnp.float32)
+        return jnp.zeros(shape + (2 * self.plan.k,), jnp.float32)
 
     # -------- arithmetic --------
 
@@ -270,7 +279,11 @@ class RnsField:
 def _crt_limb_consts(plan: rns.RNSPlan, spec, mont: bool = True) -> tuple:
     """Constants for to_mont_limbs: per-residue CRT scalars and the
     (K+1, L) limb matrix of D_j = (M1/m_j)*M1^{-1}*R^{1+mont} mod p rows
-    plus the F = -R^{1+mont} mod p lambda row (see to_mont_limbs)."""
+    plus the F = -R^{1+mont} mod p lambda row (see to_mont_limbs).
+
+    Big plans (k + 1 > 31) double the rows: [D_j; 64*D_j mod p; F] so the
+    scalars can be fed as 6-bit digits — the uint32 accumulation of the
+    scalar-row dot would overflow past 31 full-width scalar rows."""
     p = plan.p
     assert spec.p == p
     R = 1 << (16 * spec.num_limbs)
@@ -279,20 +292,23 @@ def _crt_limb_consts(plan: rns.RNSPlan, spec, mont: bool = True) -> tuple:
         [pow(plan.M1 // int(m), -1, int(m)) for m in plan.m1], np.float32
     )
     lam_w = np.asarray(
-        [round(2.0**LAM_SHIFT / int(m)) * 2.0**-LAM_SHIFT for m in plan.m1],
+        [round(2.0**plan.ls / int(m)) * 2.0**-plan.ls for m in plan.m1],
         np.float32,
     )
     # spec.pack already applies the R Montgomery factor; mont_dot divides
     # by R.  With one extra R baked in (mont=True) the result lands in
     # Montgomery form (x*R); without it (mont=False) in standard form.
     extra = R % p if mont else 1
-    rows = [
-        spec.pack([(plan.M1 // int(m)) % p * invM1 % p * extra % p])[0]
-        for m in plan.m1
+    dj = [
+        (plan.M1 // int(m)) % p * invM1 % p * extra % p for m in plan.m1
     ]
+    split = plan.k + 1 > 31
+    rows = [spec.pack([v])[0] for v in dj]
+    if split:
+        rows += [spec.pack([64 * v % p])[0] for v in dj]
     rows.append(spec.pack([(-1) % p * extra % p])[0])
     # numpy (not jnp): cached constants must never capture jit tracers
-    return ic, lam_w, np.stack(rows).astype(np.uint32)
+    return ic, lam_w, np.stack(rows).astype(np.uint32), split
 
 
 def to_mont_limbs(
@@ -311,16 +327,23 @@ def to_mont_limbs(
 
     c = plan_consts(plan)
     assert bound * plan.p < 0.4 * plan.M1, "value too large for exact CRT"
-    ic, lam_w, rows = _crt_limb_consts(plan, spec, mont)
-    s = a[..., :K]
+    ic, lam_w, rows, split = _crt_limb_consts(plan, spec, mont)
+    s = a[..., : c.k]
     s = s - c.m1 * (s >= c.m1)  # [0, 2m) -> [0, m)
     cj = _red(s * ic, c.inv_m1, c.m1)
     cj = cj - c.m1 * (cj >= c.m1)
     lam = jnp.floor(jnp.sum(cj * lam_w, axis=-1) + 0.5)
-    scalars = jnp.concatenate([cj, lam[..., None]], axis=-1)  # (..., K+1)
+    if split:
+        # 6-bit digit split keeps every product < 2^22 and the 2k+1-term
+        # uint32 sum < 2^29 (see _crt_limb_consts)
+        hi = jnp.floor(cj * (2.0**-DIGIT))
+        lo = cj - hi * (2.0**DIGIT)
+        scalars = jnp.concatenate([lo, hi, lam[..., None]], axis=-1)
+    else:
+        scalars = jnp.concatenate([cj, lam[..., None]], axis=-1)  # (..., K+1)
     # Small-scalar dot: scalars < 2^11 against constant limb rows — the
     # generic ff.mont_dot would run (K+1) full LxL schoolbooks; here each
-    # product is scalar*limb < 2^27 and the K+1-term sum < 2^31.7, so one
+    # product is scalar*limb < 2^27 and the sum stays < 2^32, so one
     # elementwise outer product + ONE Montgomery reduction suffices
     # (T = sum_j c_j*D_j < 2^16*p, so u = (T + m*p)/R < p + 2^15: a single
     # conditional subtraction canonicalizes).
@@ -339,21 +362,34 @@ def to_mont_limbs(
 # ----------------------------------------------------------------------
 
 
+def _limb_digit_shift(plan: rns.RNSPlan, spec) -> int:
+    """Digit width for from_mont_limbs: bytes when the f32 accumulation
+    stays exact (2L terms of 255*(m-1) < 2^24 — all <=256-bit fields),
+    nibbles otherwise (the 381-bit/24-limb case: 4L terms of 15*(m-1))."""
+    mmax = int(max(plan.m1.max(), plan.m2.max()))
+    if 2 * spec.num_limbs * 255 * (mmax - 1) < 1 << 24:
+        return 8
+    assert 4 * spec.num_limbs * 15 * (mmax - 1) < 1 << 24
+    return 4
+
+
 @functools.cache
 def _limb_rns_consts(plan: rns.RNSPlan, spec) -> np.ndarray:
-    """(2L, 2K) f32 weight matrix for from_mont_limbs: row d holds the
-    residues of (2^(8d) * c' mod p) where c' = R^{-1} * M1^2 mod p converts
-    the limb-Montgomery domain (x*R) into the RNS-Montgomery domain (x*M1)
-    through the mont_reduce that follows.  Base-2 columns carry the tau^2
-    twist of a product pair (mont_reduce's expected input format)."""
+    """(nd, 2K) f32 weight matrix for from_mont_limbs: row d holds the
+    residues of (2^(shift*d) * c' mod p) where c' = R^{-1} * M1^2 mod p
+    converts the limb-Montgomery domain (x*R) into the RNS-Montgomery
+    domain (x*M1) through the mont_reduce that follows.  Base-2 columns
+    carry the tau^2 twist of a product pair (mont_reduce's expected input
+    format)."""
     p = plan.p
     cprime = pow(spec.R, -1, p) * plan.M1 % p * plan.M1 % p
-    nd = 2 * spec.num_limbs
-    W = np.zeros((nd, 2 * K), np.float32)
+    shift = _limb_digit_shift(plan, spec)
+    nd = (16 // shift) * spec.num_limbs
+    W = np.zeros((nd, 2 * plan.k), np.float32)
     for d in range(nd):
-        v = (1 << (8 * d)) * cprime % p
-        W[d, :K] = [v % int(m) for m in plan.m1]
-        W[d, K:] = [
+        v = (1 << (shift * d)) * cprime % p
+        W[d, : plan.k] = [v % int(m) for m in plan.m1]
+        W[d, plan.k :] = [
             (v % int(m)) * (int(t) * int(t) % int(m)) % int(m)
             for m, t in zip(plan.m2, plan.tau)
         ]
@@ -365,16 +401,21 @@ def from_mont_limbs(plan: rns.RNSPlan, spec, limbs: jnp.ndarray) -> jnp.ndarray:
     -> RNS residues (..., 2K) f32 of x*M1 mod p, value bound 3 (lazy
     residues in [0, 2m)).  Inverse of to_mont_limbs.
 
-    One byte-digit matmul against _limb_rns_consts (products < 2^19, sums
-    < 2^24: exact in f32; precision=HIGHEST keeps the MXU pass exact) forms
-    the product-pair W = y*c' < 2^13*p^2/p... < p*M1, then one mont_reduce
-    lands in the RNS-Montgomery domain."""
+    One digit matmul against _limb_rns_consts (byte digits for <=256-bit
+    fields, nibbles for bigger limb counts; sums < 2^24: exact in f32;
+    precision=HIGHEST keeps the MXU pass exact) forms the product-pair
+    W = y*c' < p*M1, then one mont_reduce lands in the RNS-Montgomery
+    domain."""
     c = plan_consts(plan)
     W = _limb_rns_consts(plan, spec)
-    lo = (limbs & 0xFF).astype(jnp.float32)
-    hi = ((limbs >> 8) & 0xFF).astype(jnp.float32)
-    digits = jnp.stack([lo, hi], axis=-1).reshape(
-        limbs.shape[:-1] + (2 * spec.num_limbs,)
+    shift = _limb_digit_shift(plan, spec)
+    mask = (1 << shift) - 1
+    parts = [
+        ((limbs >> (shift * i)) & mask).astype(jnp.float32)
+        for i in range(16 // shift)
+    ]
+    digits = jnp.stack(parts, axis=-1).reshape(
+        limbs.shape[:-1] + ((16 // shift) * spec.num_limbs,)
     )
     raw = jax.lax.dot_general(
         digits,

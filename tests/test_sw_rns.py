@@ -86,7 +86,9 @@ def test_schnorr_on_pallas_rns(rng):
     from crypto_primitives_tpu.models.signature.schnorr import Schnorr
     from crypto_primitives_tpu.ops.curve_rns_any import rns_mod
 
-    assert rns_mod(PALLAS) is sr and rns_mod(BLS12_381_G1) is None
+    # round 4: BLS12-381 G1 now ALSO rides the RNS tier (the big plan
+    # geometry, tests/test_rns_big.py); both SW curves dispatch to sr
+    assert rns_mod(PALLAS) is sr and rns_mod(BLS12_381_G1) is sr
     sch = Schnorr(PALLAS)
     params = sch.setup(rng)
     keys = sch.keygen_batch(params, rng, 4)
