@@ -13,8 +13,12 @@ trace — and satisfaction checks run as one device program over the
 device_check.check_satisfied_device).
 
 Scope: field-native circuits (FpVar/Boolean — Poseidon sponge/CRH
-gadgets, field Merkle PathVar, select/is_eq).  Byte-oriented vars
-(UInt8/UInt32 gadgets) remain scalar-tier.
+gadgets, field Merkle PathVar, select/is_eq) AND byte circuits
+(UInt8/UInt32 — SHA-256/Blake2s gadgets): word allocation/packing rides
+the ``v_word_*`` hooks with a host-resident numpy bool plane, so the
+dense bitwise traffic of a hash circuit never queues per-bit device ops;
+only field-plane ops (addmany packing/decomposition, witness rows) touch
+the device.
 
 Reference usage being re-expressed: cs.is_satisfied() over per-instance
 circuits, e.g. /root/reference/crypto-primitives/src/merkle_tree/tests/
@@ -35,9 +39,31 @@ from crypto_primitives_tpu.ops.field import FieldSpec
 from crypto_primitives_tpu.r1cs.cs import ConstraintSystem
 
 
+class SmallWord:
+    """Standard-domain small field value: an (N,) int64 numpy array of
+    centered residues mod p with a tracked magnitude bound.
+
+    The byte-circuit tier (UInt8/UInt32 — SHA-256/Blake2s gadgets) keeps
+    every bit/word value in this host-resident representation, so the
+    dense bitwise traffic of a hash circuit synthesizes as pure numpy
+    with ZERO per-op device dispatches; ``stack_assignments`` converts
+    all SmallWord rows to Montgomery limbs in one batched device program
+    at check time."""
+
+    __slots__ = ("v", "bound")
+
+    def __init__(self, v: np.ndarray, bound: int):
+        self.v = v
+        self.bound = bound
+
+
+_SMALL_LIMIT = 1 << 62  # int64-safe magnitude ceiling
+
+
 class BatchConstraintSystem(ConstraintSystem):
     """ConstraintSystem whose assignment values are (N, L) Montgomery limb
-    arrays (constants stay python ints — they are instance-independent).
+    arrays or SmallWord rows (constants stay python ints — they are
+    instance-independent).
     """
 
     def __init__(self, field: FieldSpec, batch: int):
@@ -55,13 +81,33 @@ class BatchConstraintSystem(ConstraintSystem):
             self._const_cache[c] = hit
         return hit
 
+    def _centered(self, c: int):
+        """Centered representative of c mod p (small iff c or p-c is)."""
+        c %= self.field.p
+        return c - self.field.p if c > self.field.p // 2 else c
+
+    def _small_to_mont(self, vals: np.ndarray) -> jnp.ndarray:
+        """(..., N) int64 centered values -> (..., N, L) Montgomery rows
+        (one device program for the whole stack)."""
+        mag = np.abs(vals.astype(np.int64))
+        L = self.field.num_limbs
+        limbs = np.zeros(vals.shape + (L,), np.uint32)
+        for j in range(4):  # |v| < 2^62 spans <= 4 16-bit limbs
+            limbs[..., j] = ((mag >> (16 * j)) & 0xFFFF).astype(np.uint32)
+        m = ff.to_mont_device(self.field, jnp.asarray(limbs))
+        return jnp.where(
+            jnp.asarray(vals < 0)[..., None], ff.neg(self.field, m), m
+        )
+
     def _promote(self, v) -> jnp.ndarray:
-        """int constant -> broadcast (N, L) Montgomery rows."""
+        """int constant / SmallWord -> (N, L) Montgomery rows."""
         if isinstance(v, (int, np.integer)):
             return jnp.broadcast_to(
                 jnp.asarray(self._packed_const(int(v))),
                 (self.batch, self.field.num_limbs),
             )
+        if isinstance(v, SmallWord):
+            return self._small_to_mont(v.v)
         return v
 
     # -- value hooks (batched) --
@@ -69,41 +115,75 @@ class BatchConstraintSystem(ConstraintSystem):
     def v_norm(self, v):
         if isinstance(v, (int, np.integer)):
             return int(v) % self.field.p
+        if isinstance(v, SmallWord):
+            assert v.v.shape == (self.batch,), v.v.shape
+            return v
         assert v.shape == (self.batch, self.field.num_limbs), v.shape
         return v
 
     def v_add(self, a, b):
         if isinstance(a, (int, np.integer)) and isinstance(b, (int, np.integer)):
             return (int(a) + int(b)) % self.field.p
+        # SmallWord fast paths: stay in host int64 while bounds allow
+        if isinstance(a, SmallWord) or isinstance(b, SmallWord):
+            if isinstance(a, (int, np.integer)):
+                a, b = b, a
+            if isinstance(b, (int, np.integer)):
+                cc = self._centered(int(b))
+                if isinstance(a, SmallWord) and abs(cc) + a.bound < _SMALL_LIMIT:
+                    return SmallWord(a.v + cc, a.bound + abs(cc))
+            elif isinstance(a, SmallWord) and isinstance(b, SmallWord):
+                if a.bound + b.bound < _SMALL_LIMIT:
+                    return SmallWord(a.v + b.v, a.bound + b.bound)
         return ff.add(self.field, self._promote(a), self._promote(b))
 
     def v_scale(self, a, c: int):
         if isinstance(a, (int, np.integer)):
             return (int(a) * c) % self.field.p
+        if isinstance(a, SmallWord):
+            cc = self._centered(c)
+            if abs(cc) * a.bound < _SMALL_LIMIT:
+                return SmallWord(a.v * cc, abs(cc) * max(a.bound, 1))
         return ff.mont_mul(
-            self.field, a, jnp.asarray(self._packed_const(c))
+            self.field, self._promote(a), jnp.asarray(self._packed_const(c))
         )
 
     def v_mul(self, a, b):
         if isinstance(a, (int, np.integer)) and isinstance(b, (int, np.integer)):
             return (int(a) * int(b)) % self.field.p
+        if isinstance(a, SmallWord) and isinstance(b, SmallWord):
+            if a.bound * b.bound < _SMALL_LIMIT:
+                return SmallWord(a.v * b.v, max(a.bound * b.bound, 1))
         return ff.mont_mul(self.field, self._promote(a), self._promote(b))
 
     def v_inv0(self, a):
         if isinstance(a, (int, np.integer)):
             return super().v_inv0(int(a))
-        return ff.inv(self.field, a)  # Fermat: inv(0) == 0, the convention
+        return ff.inv(self.field, self._promote(a))  # Fermat: inv(0) == 0
 
     def v_is_zero(self, a):
         if isinstance(a, (int, np.integer)):
             return int(a) % self.field.p == 0
+        if isinstance(a, SmallWord):
+            # |a| < 2^62 << p/2: the centered residue is 0 iff value == 0
+            return a.v == 0
         return ff.is_zero(self.field, a)  # (N,) bool
 
     def v_bits(self, a, nbits: int):
         if isinstance(a, (int, np.integer)):
             return super().v_bits(int(a), nbits)
-        std = ff.from_mont_device(self.field, a)  # (N, L) 16-bit limbs
-        b = (std[..., None] >> jnp.arange(16, dtype=jnp.uint32)) & 1
+        if isinstance(a, SmallWord):
+            # host path: addmany decompositions of nonnegative word sums
+            assert a.bound < (1 << nbits) or (
+                (a.v >= 0).all() and (a.v < (1 << nbits)).all()
+            ), "value does not fit requested bits"
+            assert (a.v >= 0).all(), "bit decomposition of negative residue"
+            v = a.v.astype(np.uint64)
+            return [((v >> np.uint64(i)) & 1) != 0 for i in range(nbits)]
+        # device path: one device->host sync per decomposition; the
+        # resulting bool plane stays numpy
+        std = np.asarray(ff.from_mont_device(self.field, a))  # (N, L) 16-bit
+        b = (std[..., None] >> np.arange(16, dtype=np.uint32)) & 1
         b = b.reshape(std.shape[:-1] + (-1,))[..., :nbits] == 1  # (N, nbits)
         return [b[:, i] for i in range(nbits)]
 
@@ -115,38 +195,97 @@ class BatchConstraintSystem(ConstraintSystem):
     def v_from_bool(self, b):
         if isinstance(b, (bool, int, np.bool_, np.integer)):
             return int(bool(b))
-        one = jnp.asarray(self._packed_const(1))
-        return jnp.where(
-            jnp.asarray(b)[:, None], one[None, :],
-            jnp.zeros_like(one)[None, :],
-        )
+        # 0/1 SmallWord rows: bit allocation costs no device dispatch
+        return SmallWord(np.asarray(b, np.int64), 1)
 
     def v_not(self, b):
         if isinstance(b, (bool, np.bool_)):
             return not b
+        if isinstance(b, np.ndarray):
+            return np.logical_not(b)
         return jnp.logical_not(b)
 
     def v_and(self, a, b):
         if isinstance(a, (bool, np.bool_)) and isinstance(b, (bool, np.bool_)):
             return a and b
+        if isinstance(a, np.ndarray) or isinstance(b, np.ndarray):
+            return np.logical_and(np.asarray(a), np.asarray(b))
         return jnp.logical_and(a, b)
 
     def v_xor(self, a, b):
         if isinstance(a, (bool, np.bool_)) and isinstance(b, (bool, np.bool_)):
             return a ^ b
+        if isinstance(a, np.ndarray) or isinstance(b, np.ndarray):
+            return np.logical_xor(np.asarray(a), np.asarray(b))
         return jnp.logical_xor(a, b)
+
+    # word-level hooks: the byte-circuit tier (round-3 verdict item 3).
+    # Word values are (N,) numpy uint64 arrays; bit values are (N,) numpy
+    # bool arrays; scalars stay python (instance-independent constants).
+
+    def v_word_bits(self, value, n: int):
+        if isinstance(value, (int, np.integer)):
+            return super().v_word_bits(int(value), n)
+        v = np.asarray(value)
+        assert v.shape == (self.batch,), v.shape
+        return [((v.astype(np.uint64) >> np.uint64(i)) & 1) != 0 for i in range(n)]
+
+    def v_pack_word(self, bit_vals):
+        if all(isinstance(b, (bool, np.bool_)) for b in bit_vals):
+            return super().v_pack_word(bit_vals)
+        acc = np.zeros((self.batch,), np.uint64)
+        for i, b in enumerate(bit_vals):
+            acc |= np.asarray(b, np.uint64) << np.uint64(i)
+        return acc
+
+    def v_word_to_field(self, word):
+        if isinstance(word, (int, np.integer)):
+            return super().v_word_to_field(word)
+        v = np.asarray(word, np.uint64)
+        assert (v < _SMALL_LIMIT).all()
+        return SmallWord(v.astype(np.int64), int(v.max(initial=0)) + 1)
+
+    def v_select(self, c, a, b):
+        if isinstance(c, (bool, np.bool_)):
+            return a if c else b
+        if isinstance(c, np.ndarray):
+            return np.where(c, a, b)
+        return jnp.where(c, a, b)
 
     # -- witness matrix + checks --
 
     def stack_assignments(self) -> jnp.ndarray:
-        """(V, N, L) Montgomery witness matrix (constants broadcast)."""
-        rows = [self._promote(v) for v in self.assignments]
+        """(V, N, L) Montgomery witness matrix (constants broadcast).
+
+        All SmallWord rows (the byte-circuit value plane) convert to
+        Montgomery limbs in ONE batched device program rather than one
+        dispatch per variable."""
+        small_idx = [
+            i for i, v in enumerate(self.assignments)
+            if isinstance(v, SmallWord)
+        ]
+        small_rows = None
+        if small_idx:
+            vals = np.stack(
+                [self.assignments[i].v for i in small_idx], axis=0
+            )  # (Vs, N)
+            small_rows = self._small_to_mont(vals)  # (Vs, N, L)
+        rows = []
+        si = 0
+        for i, v in enumerate(self.assignments):
+            if isinstance(v, SmallWord):
+                rows.append(small_rows[si])
+                si += 1
+            else:
+                rows.append(self._promote(v))
         return jnp.stack(rows, axis=0)
 
     def value_host(self, v, instance: int) -> int:
         """One instance's value of an assignment-style value, as an int."""
         if isinstance(v, (int, np.integer)):
             return int(v) % self.field.p
+        if isinstance(v, SmallWord):
+            return int(v.v[instance]) % self.field.p
         return int(self.field.unpack(np.asarray(v[instance])))
 
     def eval_lc(self, lc):  # pragma: no cover - host path unsupported

@@ -136,6 +136,26 @@ class ConstraintSystem:
     def v_xor(self, a, b):
         return bool(a) ^ bool(b)
 
+    # word-level hooks (UInt8/UInt32 byte circuits — round-3 verdict
+    # item 3 extends these to arrays so SHA-256/Blake2s synthesize as one
+    # vectorized trace in BatchConstraintSystem)
+
+    def v_word_bits(self, value, n: int):
+        """LE bit values of an n-bit word (UIntN allocation)."""
+        return [bool((int(value) >> i) & 1) for i in range(n)]
+
+    def v_pack_word(self, bit_vals):
+        """Bit values -> standard-domain word value."""
+        return sum(int(bool(b)) << i for i, b in enumerate(bit_vals))
+
+    def v_word_to_field(self, word):
+        """Standard-domain word value -> field assignment value."""
+        return int(word) % self.field.p
+
+    def v_select(self, c, a, b):
+        """Value-level ``c ? a : b`` over boolean condition values."""
+        return a if c else b
+
     # -- constraints --
 
     def enforce(self, a: LinearCombination, b: LinearCombination, c: LinearCombination):

@@ -90,8 +90,14 @@ class OutputVar:
         self.bytes = bytes_
 
     @property
-    def value(self) -> bytes:
-        return bytes(b.value for b in self.bytes)
+    def value(self):
+        """bytes (scalar tier) or a (batch, 32) uint8 array (batched)."""
+        vals = [b.value for b in self.bytes]
+        if vals and not isinstance(vals[0], int):
+            import numpy as np
+
+            return np.stack([np.asarray(v, np.uint8) for v in vals], axis=1)
+        return bytes(vals)
 
     @classmethod
     def from_words(cls, cs, words: List[UInt32]) -> "OutputVar":
@@ -106,8 +112,11 @@ class Blake2sPRFGadget:
     """PRFGadget twin (src/prf/constraints.rs:9-20 + blake2s impl :367-391)."""
 
     @staticmethod
-    def new_seed(cs: ConstraintSystem, seed: bytes) -> List[UInt8]:
-        return [UInt8.new_witness(cs, b) for b in seed]
+    def new_seed(cs: ConstraintSystem, seed) -> List[UInt8]:
+        """``seed``: bytes, or a (batch, 32) uint8 array (batched tier)."""
+        from crypto_primitives_tpu.r1cs.vars import bytes_to_uint8s
+
+        return bytes_to_uint8s(cs, seed, "witness")
 
     @staticmethod
     def evaluate(cs: ConstraintSystem, seed: List[UInt8], input_: List[UInt8]) -> OutputVar:

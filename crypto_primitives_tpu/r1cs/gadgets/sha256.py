@@ -90,8 +90,14 @@ class DigestVar:
         self.bytes = bytes_
 
     @property
-    def value(self) -> bytes:
-        return bytes(b.value for b in self.bytes)
+    def value(self):
+        """bytes (scalar tier) or a (batch, 32) uint8 array (batched)."""
+        vals = [b.value for b in self.bytes]
+        if vals and not isinstance(vals[0], int):
+            import numpy as np
+
+            return np.stack([np.asarray(v, np.uint8) for v in vals], axis=1)
+        return bytes(vals)
 
     def is_eq(self, other: "DigestVar") -> Boolean:
         acc = Boolean.constant(self.cs, True)

@@ -239,7 +239,7 @@ class Boolean:
     @staticmethod
     def select(cond: "Boolean", a: "Boolean", b: "Boolean") -> "Boolean":
         fp = FpVar.select(cond, a.fp, b.fp)
-        val = a.value if cond.value else b.value
+        val = cond.cs.v_select(cond.value, a.value, b.value)
         return Boolean(cond.cs, fp, val, fp.const)
 
 
@@ -248,7 +248,11 @@ def _bits_value(bits: Sequence[Boolean]) -> int:
 
 
 class UIntN:
-    """N-bit word as LE Booleans (ark UInt8/UInt32 twin)."""
+    """N-bit word as LE Booleans (ark UInt8/UInt32 twin).
+
+    Values may be python ints (scalar tier) or (batch,) arrays
+    (BatchConstraintSystem byte-circuit tier): allocation, packing, and
+    selection all route through the ``v_word_*``/``v_select`` hooks."""
 
     N = 0
 
@@ -258,20 +262,20 @@ class UIntN:
         self.bits = bits
 
     @property
-    def value(self) -> int:
-        return _bits_value(self.bits)
+    def value(self):
+        return self.cs.v_pack_word([b.value for b in self.bits])
 
     @classmethod
     def constant(cls, cs: ConstraintSystem, value: int):
         return cls(cs, [Boolean.constant(cs, bool((value >> i) & 1)) for i in range(cls.N)])
 
     @classmethod
-    def new_witness(cls, cs: ConstraintSystem, value: int):
-        return cls(cs, [Boolean.new_witness(cs, bool((value >> i) & 1)) for i in range(cls.N)])
+    def new_witness(cls, cs: ConstraintSystem, value):
+        return cls(cs, [Boolean.new_witness(cs, b) for b in cs.v_word_bits(value, cls.N)])
 
     @classmethod
-    def new_input(cls, cs: ConstraintSystem, value: int):
-        return cls(cs, [Boolean.new_input(cs, bool((value >> i) & 1)) for i in range(cls.N)])
+    def new_input(cls, cs: ConstraintSystem, value):
+        return cls(cs, [Boolean.new_input(cs, b) for b in cs.v_word_bits(value, cls.N)])
 
     def __xor__(self, other):
         return type(self)(self.cs, [a ^ b for a, b in zip(self.bits, other.bits)])
@@ -296,13 +300,14 @@ class UIntN:
         """Linear recomposition (free)."""
         p = self.cs.field.p
         acc = LinearCombination()
-        val = 0
         const = True
         for i, b in enumerate(self.bits):
             acc = acc.add(b.fp.lc.scale(1 << i, p), p)
-            val += int(b.value) << i
             const = const and b.const
-        return FpVar(self.cs, acc, val % p, const)
+        val = self.cs.v_word_to_field(
+            self.cs.v_pack_word([b.value for b in self.bits])
+        )
+        return FpVar(self.cs, acc, val, const)
 
     @classmethod
     def addmany(cls, operands: Sequence["UIntN"]):
@@ -335,8 +340,17 @@ class UInt32(UIntN):
     N = 32
 
 
-def bytes_to_uint8s(cs: ConstraintSystem, data: bytes, mode: str = "witness") -> List[UInt8]:
+def bytes_to_uint8s(cs: ConstraintSystem, data, mode: str = "witness") -> List[UInt8]:
+    """``data``: python bytes (scalar tier) or a (batch, n_bytes) uint8
+    array (batched tier — column j becomes one UInt8 whose per-instance
+    values are the column)."""
     ctor = {"witness": UInt8.new_witness, "input": UInt8.new_input, "constant": UInt8.constant}[mode]
+    if not isinstance(data, (bytes, bytearray)):
+        import numpy as _np
+
+        arr = _np.asarray(data)
+        assert arr.ndim == 2, arr.shape
+        return [ctor(cs, arr[:, j]) for j in range(arr.shape[1])]
     return [ctor(cs, b) for b in data]
 
 

@@ -150,3 +150,128 @@ def test_batched_per_instance_dissatisfaction():
         True, False, True,
     ]
     assert not bcs.is_satisfied()
+
+
+# ---- byte circuits (UInt8/UInt32 value hooks — round-3 verdict item 3) ----
+
+
+def test_batched_blake2s_prf_digests(rng):
+    """N Blake2s one-block PRF instances as one trace: constraint count
+    identical to the scalar tier (the reference's pinned 21792,
+    src/prf/blake2s/constraints.rs:416), per-instance digests equal to
+    hashlib.blake2s."""
+    import hashlib
+
+    from crypto_primitives_tpu.r1cs.gadgets.blake2s import Blake2sPRFGadget
+    from crypto_primitives_tpu.r1cs.vars import bytes_to_uint8s
+
+    N = 32
+    seeds = np.asarray(
+        [[rng.randrange(256) for _ in range(32)] for _ in range(N)], np.uint8
+    )
+    msgs = np.asarray(
+        [[rng.randrange(256) for _ in range(32)] for _ in range(N)], np.uint8
+    )
+    bcs = BatchConstraintSystem(FR, N)
+    sv = Blake2sPRFGadget.new_seed(bcs, seeds)
+    iv = bytes_to_uint8s(bcs, msgs)
+    out = Blake2sPRFGadget.evaluate(bcs, sv, iv)
+    assert bcs.num_constraints == 21792
+    got = out.value  # (N, 32) uint8
+    for i in range(N):
+        want = hashlib.blake2s(seeds[i].tobytes() + msgs[i].tobytes()).digest()
+        assert got[i].tobytes() == want
+
+    # scalar twin: identical counts
+    scs = ConstraintSystem(FR)
+    ssv = Blake2sPRFGadget.new_seed(scs, seeds[0].tobytes())
+    siv = bytes_to_uint8s(scs, msgs[0].tobytes())
+    sout = Blake2sPRFGadget.evaluate(scs, ssv, siv)
+    assert scs.is_satisfied()
+    assert sout.value == got[0].tobytes()
+    assert bcs.num_constraints == scs.num_constraints
+    assert bcs.num_witness == scs.num_witness
+
+
+def test_batched_sha256_crh_digests(rng):
+    """N SHA-256 CRH instances (55-byte messages: one padded block) as one
+    trace, vs hashlib + the scalar tier."""
+    import hashlib
+
+    from crypto_primitives_tpu.r1cs.gadgets.sha256 import Sha256CRHGadget
+    from crypto_primitives_tpu.r1cs.vars import bytes_to_uint8s
+
+    N = 16
+    data = np.asarray(
+        [[rng.randrange(256) for _ in range(55)] for _ in range(N)], np.uint8
+    )
+    bcs = BatchConstraintSystem(FR, N)
+    dv = Sha256CRHGadget().evaluate(bcs, bytes_to_uint8s(bcs, data))
+    got = dv.value
+    for i in range(N):
+        assert got[i].tobytes() == hashlib.sha256(data[i].tobytes()).digest()
+
+    scs = ConstraintSystem(FR)
+    sdv = Sha256CRHGadget().evaluate(
+        scs, bytes_to_uint8s(scs, data[0].tobytes())
+    )
+    assert sdv.value == got[0].tobytes()
+    assert bcs.num_constraints == scs.num_constraints
+    assert bcs.num_witness == scs.num_witness
+
+
+def test_batched_uint32_select(rng):
+    """UIntN.select routes condition values through v_select (array-valued
+    conditions must not hit python truthiness)."""
+    from crypto_primitives_tpu.r1cs.vars import Boolean, UInt32
+
+    N = 5
+    xs = [rng.randrange(1 << 32) for _ in range(N)]
+    ys = [rng.randrange(1 << 32) for _ in range(N)]
+    cond = [bool(i % 2) for i in range(N)]
+    bcs = BatchConstraintSystem(FR, N)
+    xv = UInt32.new_witness(bcs, np.asarray(xs, np.uint64))
+    yv = UInt32.new_witness(bcs, np.asarray(ys, np.uint64))
+    cv = Boolean.new_witness(bcs, np.asarray(cond))
+    sel = UInt32.select(cv, xv, yv)
+    assert bcs.is_satisfied()
+    got = np.asarray(sel.value)
+    for i in range(N):
+        assert int(got[i]) == (xs[i] if cond[i] else ys[i])
+
+
+@pytest.mark.slow
+def test_batched_blake2s_device_check(rng):
+    """The batched device satisfaction check over a byte circuit,
+    including per-instance dissatisfaction when one instance's bit
+    witness is tampered."""
+    import hashlib
+
+    from crypto_primitives_tpu.r1cs.batch import SmallWord
+    from crypto_primitives_tpu.r1cs.gadgets.blake2s import Blake2sPRFGadget
+    from crypto_primitives_tpu.r1cs.vars import bytes_to_uint8s
+
+    N = 4
+    seeds = np.asarray(
+        [[rng.randrange(256) for _ in range(32)] for _ in range(N)], np.uint8
+    )
+    msgs = np.asarray(
+        [[rng.randrange(256) for _ in range(32)] for _ in range(N)], np.uint8
+    )
+    bcs = BatchConstraintSystem(FR, N)
+    sv = Blake2sPRFGadget.new_seed(bcs, seeds)
+    iv = bytes_to_uint8s(bcs, msgs)
+    out = Blake2sPRFGadget.evaluate(bcs, sv, iv)
+    for i in range(N):
+        want = hashlib.blake2s(seeds[i].tobytes() + msgs[i].tobytes()).digest()
+        assert out.value[i].tobytes() == want
+    assert bcs.is_satisfied()
+
+    # tamper one digest bit's witness in instance 2: packing breaks there
+    k = list(out.bytes[0].bits[0].fp.lc.terms)[0]
+    w = bcs.assignments[k]
+    assert isinstance(w, SmallWord)
+    w.v[2] ^= 1
+    per = np.asarray(bcs.satisfied_per_instance()).tolist()
+    assert per[2] is False or per[2] == False  # noqa: E712
+    assert all(per[i] for i in range(N) if i != 2)
