@@ -117,3 +117,58 @@ PALLAS = SWCurveSpec(
     generator=(PALLAS_FP.p - 1, 2),
 )
 assert PALLAS.is_on_curve(PALLAS.generator)
+
+
+# ----------------------------------------------------------------------
+# Externally-validatable instances (round-3 verdict item 8).  These two
+# curves have authoritative implementations inside this image (the
+# `cryptography` package) and published RFC/SEC vectors, so the generic
+# TE/SW stacks can be pinned against EXTERNAL ground truth — the offline
+# substitute for fetching zcash/ark-serialize vectors (zero egress).
+# Validated in tests/test_external_vectors.py.
+# ----------------------------------------------------------------------
+
+ED25519_FQ = FieldSpec("ed25519_fq", 2**255 - 19)
+ED25519_FR = FieldSpec(
+    "ed25519_fr", 2**252 + 27742317777372353535851937790883648493
+)
+
+# edwards25519 (RFC 8032 §5.1): -x^2 + y^2 = 1 + d x^2 y^2,
+# d = -121665/121666
+ED25519 = TECurveSpec(
+    "ed25519",
+    base=ED25519_FQ,
+    scalar=ED25519_FR,
+    a=-1,
+    d=(-121665 * pow(121666, -1, ED25519_FQ.p)) % ED25519_FQ.p,
+    cofactor=8,
+    generator=(
+        15112221349535400772501151409588531511454012693041857206046113283949847762202,
+        46316835694926478169428394003475163141307993866256225615783033603165251855960,
+    ),
+)
+assert ED25519.is_on_curve(ED25519.generator)
+
+SECP256R1_FQ = FieldSpec(
+    "secp256r1_fq", 2**256 - 2**224 + 2**192 + 2**96 - 1
+)
+SECP256R1_FR = FieldSpec(
+    "secp256r1_fr",
+    0xFFFFFFFF00000000FFFFFFFFFFFFFFFFBCE6FAADA7179E84F3B9CAC2FC632551,
+)
+
+# NIST P-256 (SEC 2 §2.4.2): y^2 = x^3 - 3x + b — exercises the SW
+# stack's general-a path (BLS12-381 G1 and Pallas both have a = 0)
+SECP256R1 = SWCurveSpec(
+    "secp256r1",
+    base=SECP256R1_FQ,
+    scalar=SECP256R1_FR,
+    a=-3,
+    b=0x5AC635D8AA3A93E7B3EBBD55769886BC651D06B0CC53B0F63BCE3C3E27D2604B,
+    cofactor=1,
+    generator=(
+        0x6B17D1F2E12C4247F8BCE6E563A440F277037D812DEB33A0F4A13945D898C296,
+        0x4FE342E2FE1A7F9B8EE7EB4A7C0F9E162BCE33576B315ECECBB6406837BF51F5,
+    ),
+)
+assert SECP256R1.is_on_curve(SECP256R1.generator)

@@ -70,9 +70,16 @@ class FieldSpec:
         self.p = modulus
         self.generator = generator
         self.nbits = modulus.bit_length()  # == arkworks MODULUS_BIT_SIZE
-        # Number of 16-bit limbs; R = 2^(16 L).  For 249..256-bit moduli this
+        # Number of 16-bit limbs; R = 2^(16 L).  For 249..255-bit moduli this
         # is 16 limbs -> R = 2^256, identical to arkworks' 4x64-bit layout.
+        # The limb pipeline needs >= 1 spare bit above the modulus (add
+        # computes a+b < 2p before the conditional subtract; the carry out
+        # of limb L-1 would otherwise be dropped), so a modulus that
+        # exactly fills its limbs — e.g. the 256-bit P-256 prime — gets one
+        # extra limb.  arkworks instead relies on u64 add-with-carry.
         self.num_limbs = -(-self.nbits // LIMB_BITS)
+        if self.nbits % LIMB_BITS == 0:
+            self.num_limbs += 1
         L = self.num_limbs
         self.R = 1 << (LIMB_BITS * L)
         self.R_mod_p = self.R % modulus
