@@ -134,9 +134,24 @@ def _plain_mont_rows(plan: rns.RNSPlan, v: int, p: int) -> np.ndarray:
     return np.asarray(r1 + r2, dtype=np.float32)
 
 
-def _make_msm_kernel(plan: rns.RNSPlan, G: int, w: int):
+def _make_msm_kernel(plan: rns.RNSPlan, G: int, w: int, ablate: str = None,
+                     n_par: int = 1):
+    """ablate (timing-only stubs, results WRONG — tools/ablate_msm.py):
+    'select' skips the one-hot table matmul, 'reduce' replaces the two
+    Montgomery reductions with a linear stub, 'addition' skips the HWCD
+    addition entirely (accumulator = selected point).
+
+    n_par > 1 runs that many group-strided partial accumulators
+    side-by-side on lanes (caller merges them with te_add_rns): the
+    serial dependent-add chain shrinks from G to G/n_par iterations and
+    every VPU/MXU op widens by n_par, attacking the issue-latency bound
+    tools/ablate_msm.py measures at small batch (G must be a multiple of
+    n_par; accumulator j owns groups [j*G/n_par, (j+1)*G/n_par))."""
     f32 = jnp.float32
     EW = 1 << w
+    assert G % n_par == 0, (G, n_par)
+    SG = G // n_par  # groups per accumulator
+    P = n_par
 
     def kernel(combos_ref, e1w_ref, e2w_ref, vec_ref, idx_ref, out_ref):
         v = vec_ref[...]
@@ -169,6 +184,8 @@ def _make_msm_kernel(plan: rns.RNSPlan, G: int, w: int):
             return red((U0 + U1) + lam * negM, inv, m)
 
         def mont_reduce(wv, s1_ready):
+            if ablate == "reduce":
+                return red(wv[:K] + wv[K:], inv1, m1).repeat(2, axis=0)[: 2 * K]
             if s1_ready:
                 s1 = wv[:K]
             else:
@@ -183,26 +200,59 @@ def _make_msm_kernel(plan: rns.RNSPlan, G: int, w: int):
             return jnp.concatenate([r1, om], axis=0)
 
         B4 = out_ref.shape[1]
-        B = B4 // 4
+        B = B4 // 4  # effective batch = P * block_b
+        Bb = B // P  # block_b
         zero = jnp.zeros((2 * K, B), f32)
         one_b = jnp.broadcast_to(one_col, (2 * K, B))
         acc0 = jnp.concatenate([zero, one_b, zero, one_b], axis=1)
 
-        # one-hot row map for the select matmul: row r of the (4*EW, 4B)
-        # one-hot activates lane block r>>w with window value r & (EW-1)
-        rows_e = jax.lax.broadcasted_iota(jnp.int32, (4 * EW, 4 * B), 0) % EW
-        rows_c = jax.lax.broadcasted_iota(jnp.int32, (4 * EW, 4 * B), 0) // EW
-        lane_c = jax.lax.broadcasted_iota(jnp.int32, (4 * EW, 4 * B), 1) // B
+        # one-hot row map for the select matmul over the (4*P*EW, 4B)
+        # one-hot: row r = c*(P*EW) + j*EW + e activates the lanes of
+        # coordinate block c, accumulator j, window value e; lane
+        # l = c*(P*Bb) + j*Bb + b
+        RR = 4 * P * EW
+        rows_e = jax.lax.broadcasted_iota(jnp.int32, (RR, 4 * B), 0) % EW
+        rows_j = (
+            jax.lax.broadcasted_iota(jnp.int32, (RR, 4 * B), 0) // EW
+        ) % P
+        rows_c = jax.lax.broadcasted_iota(jnp.int32, (RR, 4 * B), 0) // (
+            P * EW
+        )
+        lane_c = jax.lax.broadcasted_iota(jnp.int32, (RR, 4 * B), 1) // B
+        lane_j = (
+            jax.lax.broadcasted_iota(jnp.int32, (RR, 4 * B), 1) % B
+        ) // Bb
 
-        def body(g, acc):
-            idx_row = idx_ref[pl.ds(g, 1), :]  # (1, block_b) int32
-            idx4 = jnp.concatenate([idx_row] * 4, axis=1)  # (1, 4B)
-            onehot = jnp.where(
-                (rows_e == idx4) & (rows_c == lane_c), f32(1.0), f32(0.0)
-            )
-            cg = combos_ref[g]  # (4K, 4*EW) digit planes
-            so = jax.lax.dot(cg, onehot, preferred_element_type=f32)
-            sel = so[: 2 * K] + so[2 * K :]  # (2K, 4B) twisted residues
+        def body(i, acc):
+            if ablate == "select":
+                sel = acc + jnp.float32(i)  # skip the table matmul
+            else:
+                # accumulator j consumes group j*S + i this iteration
+                idx_parts = [
+                    idx_ref[pl.ds(j * SG + i, 1), :] for j in range(P)
+                ]
+                idxP = jnp.concatenate(idx_parts, axis=1)  # (1, P*Bb)
+                idx4 = jnp.concatenate([idxP] * 4, axis=1)  # (1, 4B)
+                cgs = [combos_ref[j * SG + i] for j in range(P)]
+                # columns c-major across accumulators to match the lanes
+                cg = jnp.concatenate(
+                    [
+                        cgs[j][:, c * EW : (c + 1) * EW]
+                        for c in range(4)
+                        for j in range(P)
+                    ],
+                    axis=1,
+                )  # (4K, 4*P*EW)
+                onehot = jnp.where(
+                    (rows_e == idx4) & (rows_c == lane_c)
+                    & (rows_j == lane_j),
+                    f32(1.0),
+                    f32(0.0),
+                )
+                so = jax.lax.dot(cg, onehot, preferred_element_type=f32)
+                sel = so[: 2 * K] + so[2 * K :]  # (2K, 4B) twisted residues
+            if ablate == "addition":
+                return red(acc + sel, inv_all, m_all)  # skip the HWCD add
             # round 1: [X1|Y1|T1|s1] * [X2|Y2|dT2|s2] -> [A|B|C|S]
             X1, Y1 = acc[:, :B], acc[:, B : 2 * B]
             s1 = red(X1 + Y1, inv_all, m_all)
@@ -222,16 +272,18 @@ def _make_msm_kernel(plan: rns.RNSPlan, G: int, w: int):
             rhs3 = jnp.concatenate([F, H, H, Gv], axis=1)
             return mont_reduce(red(lhs3 * rhs3, inv_all, m_all), False)
 
-        out_ref[...] = jax.lax.fori_loop(0, G, body, acc0)
+        out_ref[...] = jax.lax.fori_loop(0, SG, body, acc0)
 
     return kernel
 
 
 @functools.lru_cache(maxsize=32)
-def _build_grouped_msm(curve, G: int, w: int, block_b: int, interpret: bool):
+def _build_grouped_msm(curve, G: int, w: int, block_b: int, interpret: bool,
+                       ablate: str = None, n_par: int = 1):
     plan = rns.build_plan(curve.base.p)
     vec, e1w, e2w = _msm_consts(plan, curve)
-    kernel = _make_msm_kernel(plan, G, w)
+    kernel = _make_msm_kernel(plan, G, w, ablate, n_par)
+    P = n_par
 
     @jax.jit
     def run(combos, idx):
@@ -261,20 +313,38 @@ def _build_grouped_msm(curve, G: int, w: int, block_b: int, interpret: bool):
                 pl.BlockSpec((G, block_b), lambda i: (0, i), memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec(
-                (2 * K, 4 * block_b), lambda i: (0, i), memory_space=pltpu.VMEM
+                (2 * K, 4 * P * block_b), lambda i: (0, i),
+                memory_space=pltpu.VMEM,
             ),
-            out_shape=jax.ShapeDtypeStruct((2 * K, 4 * Bp), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((2 * K, 4 * P * Bp), jnp.float32),
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024
             ),
             interpret=interpret,
         )(combos, jnp.asarray(e1w), jnp.asarray(e2w), jnp.asarray(vec), idx_t)
-        # (2K, 4Bp) lane-stacked per block -> (Bp, 4, 2K)
+        # per block: lanes are [coord c][accumulator j][element b]
         nb = Bp // block_b
-        o = out.reshape(2 * K, nb, 4, block_b)
-        o = jnp.moveaxis(o, 0, -1)  # (nb, 4, block_b, 2K)
-        o = jnp.moveaxis(o, 1, 2).reshape(Bp, 4, 2 * K)
-        return o[:B]
+        o = out.reshape(2 * K, nb, 4, P, block_b)
+        o = jnp.moveaxis(o, 0, -1)  # (nb, 4, P, block_b, 2K)
+        o = o.transpose(2, 0, 3, 1, 4).reshape(P, Bp, 4, 2 * K)
+        if P == 1:
+            return o[0, :B]
+        # merge the group-strided partial accumulators (log tree)
+        from crypto_primitives_tpu.ops.curve_rns import te_add_rns
+
+        parts = o
+        n = P
+        while n > 1:
+            half = n // 2
+            parts = jnp.concatenate(
+                [
+                    te_add_rns(curve, parts[:half], parts[half : 2 * half]),
+                    parts[2 * half : n],
+                ],
+                axis=0,
+            )
+            n = half + (n - 2 * half)
+        return parts[0, :B]
 
     return run
 
@@ -286,25 +356,60 @@ def grouped_msm_pallas(
     w: int,
     block_b: int = DEFAULT_BLOCK,
     interpret: bool = False,
+    ablate: str = None,
+    n_par: int = 0,
 ) -> jnp.ndarray:
     """sum_j bits[..., j] * table[j] over a pack_combos_kernel table.
 
     bits (..., N) uint8 (zero-padded to G*w internally); returns extended
     points (..., 4, 2K) in the plain accumulator convention (same as
     ops/curve_rns.py, value bound 3p) — interchangeable with
-    te_conditional_sum_grouped_rns output."""
+    te_conditional_sum_grouped_rns output.
+
+    n_par: partial-accumulator width (0 = auto).  Small batches leave the
+    chip issue-latency-bound on the serial group chain (tools/
+    ablate_msm.py); auto widens lanes to ~4096 by running up to 8
+    group-strided accumulators side-by-side, padded with identity groups
+    and tree-merged (te_add_rns) after the kernel."""
     G = combos.shape[0]
     batch = bits.shape[:-1]
     n = bits.shape[-1]
     flatb = bits.reshape(-1, n)
-    if n < G * w:
+    blockb = min(block_b, max(8, flatb.shape[0]))
+    if n_par == 0:
+        n_par = max(1, min(8, 4096 // (4 * blockb), G))
+    S = -(-G // n_par)
+    Gp = n_par * S
+    if Gp > G:
+        combos = jnp.concatenate(
+            [
+                combos,
+                jnp.broadcast_to(
+                    jnp.asarray(_identity_group(curve, w)),
+                    (Gp - G,) + combos.shape[1:],
+                ),
+            ],
+            axis=0,
+        )
+    if n < Gp * w:
         flatb = jnp.concatenate(
-            [flatb, jnp.zeros((flatb.shape[0], G * w - n), flatb.dtype)], axis=-1
+            [flatb, jnp.zeros((flatb.shape[0], Gp * w - n), flatb.dtype)],
+            axis=-1,
         )
     weights = jnp.asarray([1 << i for i in range(w)], jnp.int32)
     idx = jnp.sum(
-        flatb.reshape(flatb.shape[0], G, w).astype(jnp.int32) * weights, axis=-1
+        flatb.reshape(flatb.shape[0], Gp, w).astype(jnp.int32) * weights,
+        axis=-1,
     )
-    run = _build_grouped_msm(curve, G, w, min(block_b, max(8, idx.shape[0])), interpret)
+    run = _build_grouped_msm(
+        curve, Gp, w, blockb, interpret, ablate, n_par
+    )
     out = run(combos, idx)
     return out.reshape(batch + (4, 2 * K))
+
+
+@functools.lru_cache(maxsize=16)
+def _identity_group(curve, w: int) -> np.ndarray:
+    """One all-identity combo group (pads G up to a multiple of n_par;
+    adding the identity is exact under the complete law)."""
+    return pack_combos_from_subsets(curve, [[(0, 1)] * (1 << w)])[0]

@@ -180,10 +180,10 @@ class BatchConstraintSystem(ConstraintSystem):
             assert (a.v >= 0).all(), "bit decomposition of negative residue"
             v = a.v.astype(np.uint64)
             return [((v >> np.uint64(i)) & 1) != 0 for i in range(nbits)]
-        # device path: one device->host sync per decomposition; the
-        # resulting bool plane stays numpy
-        std = np.asarray(ff.from_mont_device(self.field, a))  # (N, L) 16-bit
-        b = (std[..., None] >> np.arange(16, dtype=np.uint32)) & 1
+        # device path (field-plane decompositions): stays lazy jnp — no
+        # host sync; the byte-circuit plane never reaches this branch
+        std = ff.from_mont_device(self.field, a)  # (N, L) 16-bit limbs
+        b = (std[..., None] >> jnp.arange(16, dtype=jnp.uint32)) & 1
         b = b.reshape(std.shape[:-1] + (-1,))[..., :nbits] == 1  # (N, nbits)
         return [b[:, i] for i in range(nbits)]
 
@@ -195,8 +195,16 @@ class BatchConstraintSystem(ConstraintSystem):
     def v_from_bool(self, b):
         if isinstance(b, (bool, int, np.bool_, np.integer)):
             return int(bool(b))
-        # 0/1 SmallWord rows: bit allocation costs no device dispatch
-        return SmallWord(np.asarray(b, np.int64), 1)
+        if isinstance(b, np.ndarray):
+            # host bool plane (byte circuits): 0/1 SmallWord rows, no
+            # device dispatch per bit allocation
+            return SmallWord(b.astype(np.int64), 1)
+        # device bool plane (field circuits): stay lazy on device
+        one = jnp.asarray(self._packed_const(1))
+        return jnp.where(
+            jnp.asarray(b)[:, None], one[None, :],
+            jnp.zeros_like(one)[None, :],
+        )
 
     def v_not(self, b):
         if isinstance(b, (bool, np.bool_)):

@@ -53,6 +53,42 @@ class BytePathVar:
         )
         return cls(cs, path_bits, auth, sib, leaf_is_right)
 
+    @classmethod
+    def new_witness_batch(cls, cs, native_paths) -> "BytePathVar":
+        """Allocate N same-height byte Paths as ONE vectorized BytePathVar
+        on a BatchConstraintSystem: position bits become (N,) bool arrays
+        and every digest byte an (N,)-valued UInt8 (the byte-circuit batch
+        tier, r1cs/batch.py) — structure identical to new_witness."""
+        import numpy as np
+
+        from crypto_primitives_tpu.r1cs.gadgets.sha256 import DigestVar
+        from crypto_primitives_tpu.r1cs.vars import UInt8
+
+        h = len(native_paths[0].auth_path)
+        assert all(len(p.auth_path) == h for p in native_paths)
+        pos = np.asarray([p.position_list() for p in native_paths], bool)
+        path_bits = [
+            Boolean.new_witness(cs, pos[:, i]) for i in range(pos.shape[1] - 1)
+        ]
+        leaf_is_right = Boolean.new_witness(cs, pos[:, -1])
+
+        def digest_var(rows):
+            rows = np.asarray(rows, np.uint8)  # (N, 32)
+            return DigestVar(
+                cs,
+                [
+                    UInt8.new_witness(cs, rows[:, j])
+                    for j in range(rows.shape[1])
+                ],
+            )
+
+        auth = [
+            digest_var([list(p.auth_path[lvl]) for p in native_paths])
+            for lvl in range(h)
+        ]
+        sib = digest_var([list(p.leaf_sibling_hash) for p in native_paths])
+        return cls(cs, path_bits, auth, sib, leaf_is_right)
+
     @staticmethod
     def _convert(cs, digest):
         """ByteDigestConverter twin: u64 LE length prefix (constant) || bytes."""

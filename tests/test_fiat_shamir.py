@@ -69,3 +69,57 @@ def test_transcript_challenges_match_host(rng):
         w2 = s.squeeze_native_field_elements(1)[0]
         assert int(got1[b]) == w1, b
         assert int(got2[b]) == w2, b
+
+
+@pytest.mark.slow
+def test_sharded_fold_argument(rng):
+    """The RNS-resident transcript under shard_map (data-parallel over
+    instances, zero collectives): tags and responses bit-equal to the
+    unsharded run on a D-device mesh."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    from crypto_primitives_tpu.ops import rns
+    from crypto_primitives_tpu.parallel import make_mesh
+
+    D = 8
+    cfg = get_default_poseidon_parameters(FR, 2, False)
+    B, R = 2 * D, 3
+    coms = np.asarray(
+        [[rng.randrange(FR.p) for _ in range(R)] for _ in range(B)],
+        dtype=object,
+    )
+    t0 = FiatShamirRns(cfg, batch_shape=(B,), rep="rns")
+    f = t0.field
+    com_rows = jnp.asarray(
+        np.stack([f.pack(coms[:, r]) for r in range(R)], axis=0)
+    )  # (R, B, 2K)
+
+    def transcript(rows):
+        t = FiatShamirRns(cfg, batch_shape=(rows.shape[1],), rep="rns")
+        z, bz = None, 0
+        for r in range(R):
+            row = rows[r]
+            t.absorb(row[:, None, :], bound=1)
+            c, bc = t.challenge()
+            if r == 0:
+                z, bz = row, 1
+            else:
+                z, bz = t.field.mul(z, bz, c, bc)
+                z, bz = t.field.add(z, bz, row, 1)
+        z, bz = t.field.normalize(z, bz)
+        t.absorb(z[:, None, :], bound=bz)
+        return t.finalize(1)
+
+    mesh = make_mesh(D)
+    sharded = jax.shard_map(
+        transcript,
+        mesh=mesh,
+        in_specs=P(None, "data", None),
+        out_specs=P("data", None, None),
+        check_vma=False,
+    )
+    got = np.asarray(sharded(com_rows))
+    want = np.asarray(transcript(com_rows))
+    assert np.array_equal(got, want)

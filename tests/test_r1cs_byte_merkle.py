@@ -101,3 +101,54 @@ def test_pedersen_commitment_compressor_gadget(rng):
     out = g.commit(cs, params, bytes_to_uint8s(cs, msg, "witness"), g.randomness_bits(cs, r))
     assert out.value == native
     assert cs.is_satisfied()
+
+
+@pytest.mark.slow
+def test_sha256_merkle_path_gadget_batched(rng):
+    """N byte-tree membership circuits as ONE vectorized trace (the byte
+    extension of the r1cs/batch.py tier, round-3 verdict item 3): counts
+    identical to the scalar tier, per-instance booleans correct incl. a
+    deliberately wrong root on one instance."""
+    from crypto_primitives_tpu.r1cs.batch import BatchConstraintSystem
+
+    cfg = MerkleTreeConfig(
+        Sha256CRH(), Sha256TwoToOneCRH(),
+        ByteDigestDomain(32), ByteDigestDomain(32), ByteDigestConverter(32),
+    )
+    n = 8
+    leaves = [bytes(rng.randrange(256) for _ in range(32)) for _ in range(n)]
+    dev = jnp.asarray(
+        np.frombuffer(b"".join(leaves), dtype=np.uint8).reshape(n, 32)
+    )
+    tree = MerkleTree.new(cfg, None, None, dev)
+    root = tree.root()
+    idxs = [0, 3, 5, 6]
+    N = len(idxs)
+    proofs = [tree.generate_proof(i) for i in idxs]
+
+    bcs = BatchConstraintSystem(FR, N)
+    pv = BytePathVar.new_witness_batch(bcs, proofs)
+    roots = np.frombuffer(root * N, dtype=np.uint8).reshape(N, 32).copy()
+    roots[2] ^= 0xFF  # instance 2 gets a corrupted root
+    root_var = DigestVar(bcs, bytes_to_uint8s(bcs, roots, "input"))
+    leaf_rows = np.frombuffer(
+        b"".join(leaves[i] for i in idxs), dtype=np.uint8
+    ).reshape(N, 32)
+    ok = pv.verify_membership(
+        Sha256CRHGadget(), Sha256TwoToOneCRHGadget(), root_var,
+        bytes_to_uint8s(bcs, leaf_rows, "witness"),
+    )
+    got = np.asarray(ok.value).tolist()
+    assert got == [True, True, False, True]
+
+    # scalar twin: identical constraint structure
+    cs = ConstraintSystem(FR)
+    spv = BytePathVar.new_witness(cs, proofs[0])
+    sok = spv.verify_membership(
+        Sha256CRHGadget(), Sha256TwoToOneCRHGadget(),
+        DigestVar(cs, bytes_to_uint8s(cs, root, "input")),
+        bytes_to_uint8s(cs, leaves[idxs[0]], "witness"),
+    )
+    assert sok.value is True
+    assert bcs.num_constraints == cs.num_constraints
+    assert bcs.num_witness == cs.num_witness
