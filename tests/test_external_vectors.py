@@ -168,3 +168,21 @@ def test_new_curves_device_parity(rng):
     sgot = SECP256R1.unpack_points(np.asarray(sw.sw_add(SECP256R1, sa, sb)))
     for i in range(8):
         assert sgot[i] == SECP256R1.add_host(spts[i], sqts[i]), i
+
+
+@pytest.mark.slow
+def test_primitives_over_externally_validated_curves(rng):
+    """The curve-generic schemes run unchanged over the two externally
+    validated instances: Schnorr sign/verify + tamper-reject over
+    edwards25519 (TE path; its 255-bit base field rides the standard RNS
+    fast plan) and over NIST P-256 (SW general-a path)."""
+    from crypto_primitives_tpu.models.signature.schnorr import Schnorr
+
+    for curve in (ED25519, SECP256R1):
+        sch = Schnorr(curve)
+        pp = sch.setup(rng)
+        pk, sk = sch.keygen(pp, rng)
+        msg = b"externally validated curve"
+        sig = sch.sign(pp, sk, msg, rng)
+        assert sch.verify(pp, pk, msg, sig), curve.name
+        assert not sch.verify(pp, pk, b"tampered", sig), curve.name
