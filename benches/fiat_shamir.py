@@ -60,7 +60,9 @@ def main():
         t.absorb(z[:, None, :], bound=bz)
         return t.finalize(1)
 
-    jt = jax.jit(transcript)
+    # scalar-sum fetch: a full-result fetch rides the ~15 MB/s tunnel and
+    # would dominate the measurement (benches/_util.py caveat)
+    jt = jax.jit(lambda rows: jnp.sum(transcript(rows)))
     t_fs = timed(jt, com_rows)
     perms = R + 1  # one per absorb->squeeze switch, plus the tag
     fs_rate = perms * B / t_fs
@@ -77,10 +79,14 @@ def main():
     interp = jax.default_backend() != "tpu"
 
     def raw(s):
-        return permute_rns(plan, cfg, s, block_b=blk, interpret=interp)
+        # the same number of chained permutations as the transcript, so
+        # both sides amortize launch overhead identically
+        for _ in range(perms):
+            s = permute_rns(plan, cfg, s, block_b=blk, interpret=interp)
+        return jnp.sum(s)
 
     t_raw = timed(jax.jit(raw), states)
-    raw_rate = B / t_raw
+    raw_rate = perms * B / t_raw
     emit("poseidon_rns_raw_perm_rate", raw_rate, "perm/s")
     emit("fiat_shamir_vs_raw_kernel", fs_rate / raw_rate, "ratio")
 

@@ -277,7 +277,17 @@ class BatchConstraintSystem(ConstraintSystem):
             vals = np.stack(
                 [self.assignments[i].v for i in small_idx], axis=0
             )  # (Vs, N)
-            small_rows = self._small_to_mont(vals)  # (Vs, N, L)
+            # chunk over vars: to_mont's schoolbook intermediates are
+            # O(rows * N * L^2) and a 20k-var hash circuit at N=1024
+            # would otherwise materialize tens of GB on device
+            vc = max(1, (1 << 21) // max(self.batch, 1))
+            small_rows = jnp.concatenate(
+                [
+                    self._small_to_mont(vals[s : s + vc])
+                    for s in range(0, vals.shape[0], vc)
+                ],
+                axis=0,
+            )  # (Vs, N, L)
         rows = []
         si = 0
         for i, v in enumerate(self.assignments):

@@ -67,6 +67,10 @@ def timed(fn, *args, reps=3):
 
 
 def measure(interpret=False):
+    """Differential-G stage timing.  One jit wrapper per variant (a fresh
+    wrapper per call would re-trace every rep, and eager per-call prep
+    pays an RPC round-trip per op under the axon tunnel); scalar sum
+    fetch (full-result fetches ride the ~15 MB/s tunnel and dominate)."""
     import random
 
     rng = random.Random(0)
@@ -74,29 +78,60 @@ def measure(interpret=False):
     G = combos.shape[0]
     g0 = G // 4
 
-    def run(nbits_used, ablate):
+    def make_chain(ablate, n_par, k, dependent):
+        """k MSM calls statically unrolled inside ONE jit: K-delta timing
+        cancels the ~25 ms per-call tunnel overhead (measured: a
+        100-group call times the same as a 400-group call).  Independent
+        calls pipeline -> marginal THROUGHPUT; dependent=True threads an
+        opaque zero through each call's bits -> serial LATENCY."""
+
+        @jax.jit
         def fn(c, b):
-            return grouped_msm_pallas(
-                JUBJUB, c, b, W, interpret=interpret, ablate=ablate
+            acc = jnp.float32(0)
+            for i in range(k):
+                # roll the bit rows so each chained call is a distinct
+                # program input (XLA would CSE k identical calls)
+                bi = jnp.roll(b, i, axis=-1)
+                if dependent:
+                    # runtime-zero XLA cannot fold away: forces call i to
+                    # wait for call i-1's result
+                    dep = jnp.where(
+                        jnp.isnan(acc), jnp.uint8(1), jnp.uint8(0)
+                    )
+                    bi = bi ^ dep
+                out = grouped_msm_pallas(
+                    JUBJUB, c, bi, W,
+                    interpret=interpret, ablate=ablate, n_par=n_par,
+                )
+                acc = acc + jnp.sum(out)
+            return acc
+
+        return fn
+
+    def kdelta(ablate, n_par, dependent, K0=2, K1=34):
+        t0 = timed(make_chain(ablate, n_par, K0, dependent), combos, bits)
+        t1 = timed(make_chain(ablate, n_par, K1, dependent), combos, bits)
+        return (t1 - t0) / (K1 - K0)
+
+    print(f"K-delta methodology: 32-call delta, B={B}, G={G}")
+    for dependent in (False, True):
+        kind = "serial-latency" if dependent else "pipelined-throughput"
+        for ablate in (None, "select", "reduce", "addition"):
+            per_call = kdelta(ablate, 0, dependent)
+            print(
+                f"[{kind}] {ablate or 'baseline':10s} "
+                f"per-call={per_call*1e3:7.2f}ms -> {B/per_call:9.0f} "
+                f"hashes/s ({B*G/per_call/1e6:.2f}e6 group-adds/s)",
+                flush=True,
             )
-
-        return jax.jit(fn, static_argnames=())(
-            combos[: -(-nbits_used // W)], bits[:, :nbits_used]
-        )
-
-    for ablate in (None, "select", "reduce", "addition"):
-        t_full = timed(
-            lambda: run(NBITS, ablate)
-        )
-        t_part = timed(lambda: run(g0 * W, ablate))
-        per_group = (t_full - t_part) / (G - g0)
-        adds_s = B / per_group
-        print(
-            f"{ablate or 'baseline':10s} full={t_full*1e3:7.2f}ms "
-            f"G-delta/group={per_group*1e6:7.1f}us "
-            f"-> {adds_s/1e6:6.3f}e6 group-adds/s",
-            flush=True,
-        )
+        for n_par in (1, 8):
+            per_call = kdelta(None, n_par, dependent)
+            print(
+                f"[{kind}] n_par={n_par}:   per-call={per_call*1e3:7.2f}ms "
+                f"-> {B/per_call:9.0f} hashes/s "
+                f"({B*G/per_call/1e6:.2f}e6 group-adds/s)",
+                flush=True,
+            )
 
 
 # ----------------------------------------------------------------------
