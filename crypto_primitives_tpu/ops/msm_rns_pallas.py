@@ -366,18 +366,21 @@ def grouped_msm_pallas(
     ops/curve_rns.py, value bound 3p) — interchangeable with
     te_conditional_sum_grouped_rns output.
 
-    n_par: partial-accumulator width (0 = auto).  Small batches leave the
-    chip issue-latency-bound on the serial group chain (tools/
-    ablate_msm.py); auto widens lanes to ~4096 by running up to 8
-    group-strided accumulators side-by-side, padded with identity groups
-    and tree-merged (te_add_rns) after the kernel."""
+    n_par: partial-accumulator width (0 = auto = 1).  Runs n_par
+    group-strided accumulators side-by-side on lanes, padded with
+    identity groups and tree-merged (te_add_rns) after the kernel.
+    K-delta measurement on the chip (tools/ablate_msm.py) showed the
+    kernel already at ~90% of its op-inventory roofline at n_par=1 —
+    single-call wall time at small B is per-call dispatch overhead, not
+    kernel time — so auto stays 1; the option remains for future
+    topologies."""
     G = combos.shape[0]
     batch = bits.shape[:-1]
     n = bits.shape[-1]
     flatb = bits.reshape(-1, n)
     blockb = min(block_b, max(8, flatb.shape[0]))
     if n_par == 0:
-        n_par = max(1, min(8, 4096 // (4 * blockb), G))
+        n_par = 1
     S = -(-G // n_par)
     Gp = n_par * S
     if Gp > G:

@@ -309,3 +309,29 @@ def test_schnorr_sign_batch(rng):
         assert sch.verify(params, keys[i][0], msgs[i], sigs[i])
     assert sch.verify_batch(params, [pk for pk, _ in keys], msgs, sigs) == [True] * B
     assert not sch.verify(params, keys[0][0], msgs[1], sigs[0])
+
+
+@pytest.mark.parametrize("n_par", [2, 4])
+def test_grouped_msm_kernel_n_par(n_par, rng):
+    """Group-parallel partial accumulators (identity-group padding +
+    te_add_rns tree merge) == host oracle == the n_par=1 kernel."""
+    from crypto_primitives_tpu.ops import msm_rns_pallas as mk
+
+    curve = JUBJUB
+    n, w, B = 21, 3, 6  # G=7 groups: not divisible by n_par (padding)
+    pts = [curve.rand_point(rng) for _ in range(n)]
+    bits_np = np.asarray(
+        [[rng.randrange(2) for _ in range(n)] for _ in range(B)], np.uint8
+    )
+    combos = jnp.asarray(mk.pack_combos_kernel(curve, pts, w))
+    got = mk.grouped_msm_pallas(
+        curve, combos, jnp.asarray(bits_np), w, block_b=8, interpret=True,
+        n_par=n_par,
+    )
+    aff = cr.unpack_points_rns(curve, np.asarray(got))
+    for i in range(B):
+        acc = curve.zero_host()
+        for j in range(n):
+            if bits_np[i, j]:
+                acc = curve.add_host(acc, pts[j])
+        assert aff[i] == acc, i
