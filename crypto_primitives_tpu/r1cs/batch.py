@@ -320,10 +320,130 @@ class BatchConstraintSystem(ConstraintSystem):
         device_check.check_satisfied_device)."""
         return bool(jnp.all(self.satisfied_per_instance()))
 
+    # -- small-domain fast check (byte circuits) --
+
+    def _small_check_data(self):
+        """Precompute the exact-int64 COO check, or None when any value,
+        coefficient, row bound, or product bound exceeds the int64-exact
+        budget.  Soundness: with every LC evaluation |a|,|b|,|c| < 2^55
+        and |a*b| < 2^62 << p, the R1CS relation a*b == c (mod p) holds
+        iff it holds over the integers, so no Montgomery arithmetic is
+        needed at all — the whole check is int64 gather/mul/segment-sum.
+        Byte circuits (SHA-256/Blake2s: booleanity, xor, and, word
+        packing) always qualify; field circuits fall back."""
+        LIM_V = 1 << 40  # value / coefficient magnitude budget
+        LIM_R = 1 << 55  # per-row LC bound
+        vmax = np.empty(len(self.assignments), np.float64)
+        for i, v in enumerate(self.assignments):
+            if isinstance(v, SmallWord):
+                m = int(np.abs(v.v).max(initial=0))
+            elif isinstance(v, (int, np.integer)):
+                m = abs(self._centered(int(v)))
+            else:
+                return None
+            if m >= LIM_V:
+                return None
+            vmax[i] = float(m)
+        # centered COO coefficients are value-independent: cache per
+        # constraint count (the python centering pass over ~nnz coeffs is
+        # the expensive part); value bounds re-validate on EVERY call so
+        # later assignment tampering can never silently overflow int64
+        cached = getattr(self, "_small_coo", None)
+        if cached is None or self._small_coo_n != self.num_constraints:
+            coo = self.to_coo()
+            cached = []
+            for name in "abc":
+                ri, ci, coeffs = coo[name]
+                cc = np.empty(len(coeffs), np.int64)
+                for j, c in enumerate(coeffs):
+                    cen = self._centered(int(c))
+                    if abs(cen) >= LIM_V:
+                        self._small_coo, self._small_coo_n = (
+                            False, self.num_constraints,
+                        )
+                        return None
+                    cc[j] = cen
+                cached.append((ri, ci, cc))
+            self._small_coo = cached
+            self._small_coo_n = self.num_constraints
+        if cached is False:
+            return None
+        out = []
+        bounds = []
+        for ri, ci, cc in cached:
+            rb = np.zeros(self.num_constraints, np.float64)
+            if len(ri):
+                np.add.at(rb, ri, np.abs(cc).astype(np.float64) * vmax[ci])
+            if rb.size and rb.max() >= LIM_R:
+                return None
+            bounds.append(rb)
+            # numpy, NOT jnp: converting int64 outside the x64 scope
+            # would silently downcast the coefficients to int32
+            out.append((ri, ci, cc))
+        if self.num_constraints and (
+            (bounds[0] * bounds[1]).max() >= float(1 << 61)
+        ):
+            return None
+        return tuple(out)
+
+    def _satisfied_small(self, sd, chunk: int = None) -> jnp.ndarray:
+        n = self.num_constraints
+        rows = np.empty((len(self.assignments), self.batch), np.int64)
+        for i, v in enumerate(self.assignments):
+            if isinstance(v, SmallWord):
+                rows[i] = v.v
+            else:
+                rows[i] = self._centered(int(v))
+        check = getattr(self, "_small_fn", None)
+        if check is None or self._small_n != n:
+            sd_np = tuple(
+                (np.asarray(ri), np.asarray(ci), np.asarray(cc))
+                for ri, ci, cc in sd
+            )
+
+            @jax.jit
+            def check(zc, sd=sd_np):
+                def ev(tri):
+                    ri, ci, cc = tri
+                    prods = jnp.asarray(cc)[:, None] * zc[ci]
+                    return jax.ops.segment_sum(
+                        prods, jnp.asarray(ri), num_segments=n
+                    )
+
+                a, b, c = (ev(t) for t in sd)
+                return jnp.all(a * b == c, axis=0)
+
+            self._small_fn, self._small_n = check, n
+        nnz = max(1, int(sum(np.asarray(t[0]).shape[0] for t in sd)))
+        if chunk is None:
+            chunk = max(16, min(self.batch, (1 << 24) // nnz))
+        outs = []
+        # the whole evaluation needs exact int64 (values up to ~2^55);
+        # jax downcasts to int32 outside the x64 scope
+        with jax.enable_x64():
+            z = jnp.asarray(rows)  # (V, N) int64
+            for s in range(0, self.batch, chunk):
+                e = min(s + chunk, self.batch)
+                zc = z[:, s:e]
+                if e - s < chunk:  # pad the tail: at most 2 programs
+                    pad = chunk - (e - s)
+                    zc = jnp.concatenate(
+                        [zc, jnp.repeat(z[:, e - 1 : e], pad, axis=1)],
+                        axis=1,
+                    )
+                    outs.append(np.asarray(check(zc)[: e - s]))
+                else:
+                    outs.append(np.asarray(check(zc)))
+        return jnp.concatenate([jnp.asarray(o) for o in outs])
+
     def satisfied_per_instance(self, chunk: int = None) -> jnp.ndarray:
-        """(N,) bool.  Instances are processed in chunks sized so the
-        schoolbook intermediates of the COO products stay ~HBM-friendly
-        (nnz * chunk * (2L+1) limb planes)."""
+        """(N,) bool.  Byte circuits take the exact-int64 small-domain
+        check (_small_check_data); otherwise instances are processed in
+        chunks sized so the schoolbook intermediates of the COO products
+        stay ~HBM-friendly (nnz * chunk * (2L+1) limb planes)."""
+        sd = self._small_check_data()
+        if sd is not None:
+            return self._satisfied_small(sd, chunk)
         from crypto_primitives_tpu.r1cs.device_check import _matrix_rows_device
 
         spec = self.field
