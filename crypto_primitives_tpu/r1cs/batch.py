@@ -86,6 +86,15 @@ class BatchConstraintSystem(ConstraintSystem):
         c %= self.field.p
         return c - self.field.p if c > self.field.p // 2 else c
 
+    @staticmethod
+    def _small(v: np.ndarray) -> "SmallWord":
+        """SmallWord with its bound taken from the ACTUAL magnitudes.
+        Symbolic bound products compound (a 256-term conjunction of
+        bound-2 booleans would claim 2^256 and force the Montgomery
+        fallback) while the values stay 0/1; pre-op guards still use the
+        operand bounds, so int64 can never overflow mid-op."""
+        return SmallWord(v, int(np.abs(v).max(initial=0)))
+
     def _small_to_mont(self, vals: np.ndarray) -> jnp.ndarray:
         """(..., N) int64 centered values -> (..., N, L) Montgomery rows
         (one device program for the whole stack)."""
@@ -131,10 +140,10 @@ class BatchConstraintSystem(ConstraintSystem):
             if isinstance(b, (int, np.integer)):
                 cc = self._centered(int(b))
                 if isinstance(a, SmallWord) and abs(cc) + a.bound < _SMALL_LIMIT:
-                    return SmallWord(a.v + cc, a.bound + abs(cc))
+                    return self._small(a.v + cc)
             elif isinstance(a, SmallWord) and isinstance(b, SmallWord):
                 if a.bound + b.bound < _SMALL_LIMIT:
-                    return SmallWord(a.v + b.v, a.bound + b.bound)
+                    return self._small(a.v + b.v)
         return ff.add(self.field, self._promote(a), self._promote(b))
 
     def v_scale(self, a, c: int):
@@ -143,7 +152,7 @@ class BatchConstraintSystem(ConstraintSystem):
         if isinstance(a, SmallWord):
             cc = self._centered(c)
             if abs(cc) * a.bound < _SMALL_LIMIT:
-                return SmallWord(a.v * cc, abs(cc) * max(a.bound, 1))
+                return self._small(a.v * cc)
         return ff.mont_mul(
             self.field, self._promote(a), jnp.asarray(self._packed_const(c))
         )
@@ -153,7 +162,7 @@ class BatchConstraintSystem(ConstraintSystem):
             return (int(a) * int(b)) % self.field.p
         if isinstance(a, SmallWord) and isinstance(b, SmallWord):
             if a.bound * b.bound < _SMALL_LIMIT:
-                return SmallWord(a.v * b.v, max(a.bound * b.bound, 1))
+                return self._small(a.v * b.v)
         return ff.mont_mul(self.field, self._promote(a), self._promote(b))
 
     def v_inv0(self, a):

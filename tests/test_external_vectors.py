@@ -26,6 +26,8 @@ import hashlib
 import numpy as np
 import pytest
 
+pytest.importorskip("cryptography")
+
 from crypto_primitives_tpu.ops.curves_known import ED25519, SECP256R1
 
 # RFC 8032 §7.1 TEST 1 (published literals)

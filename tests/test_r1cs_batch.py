@@ -210,6 +210,7 @@ def test_batched_sha256_crh_digests(rng):
     got = dv.value
     for i in range(N):
         assert got[i].tobytes() == hashlib.sha256(data[i].tobytes()).digest()
+    assert bcs.is_satisfied()  # small-domain exact-int64 check
 
     scs = ConstraintSystem(FR)
     sdv = Sha256CRHGadget().evaluate(

@@ -140,6 +140,9 @@ def test_sha256_merkle_path_gadget_batched(rng):
     )
     got = np.asarray(ok.value).tolist()
     assert got == [True, True, False, True]
+    # the membership circuit itself stays satisfied either way (Ok(false)
+    # semantics); checked via the small-domain exact-int64 path
+    assert bcs.is_satisfied()
 
     # scalar twin: identical constraint structure
     cs = ConstraintSystem(FR)
