@@ -1,0 +1,158 @@
+"""Batched multilinear sumcheck over the RNS-resident Fiat-Shamir
+transcript — the end-to-end protocol showcase.
+
+The classic sumcheck argument (Lund-Fortnow-Karloff-Nisan) for
+S = sum_{x in {0,1}^m} g(x), with multilinear g given by its evaluation
+table: per round the prover sends the degree-1 restriction
+p_i(0), p_i(1) (the two half-table sums), the verifier absorbs them and
+squeezes a challenge r_i, and the table folds
+T <- (1 - r_i) * T|_0 + r_i * T|_1.  After m rounds the folded table is
+the single value g(r), checked against the oracle.
+
+Everything on the prover side stays in RNS residues end-to-end
+(models/sponge/fiat_shamir.py): half-table sums are pairwise trees with
+static bound bookkeeping (re-normalized by one Montgomery mul whenever
+the accumulated bound approaches the plan's M1/p product budget), and
+the transcript challenges never leave the fast tier.  B instances run
+as one array program.
+
+The reference positions its sponge as exactly this building block
+(/root/reference/crypto-primitives/src/sponge/mod.rs:101-154) but ships
+no protocol; this module demonstrates the TPU-native stack composing
+into one.  Host-oracle twins + bit-parity: tests/test_sumcheck.py;
+throughput: benches/sumcheck.py.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from crypto_primitives_tpu.models.sponge.fiat_shamir import FiatShamirRns
+from crypto_primitives_tpu.models.sponge.poseidon import (
+    PoseidonConfig,
+    PoseidonSponge,
+)
+
+# re-normalize tree accumulators above this value bound (units of p):
+# mul requires ba*bb <= M1//p (>= 55 on every registered plan), and the
+# fold multiplies by challenge rows of bound <= 4
+_NORM_AT = 12
+
+
+def _tree_sum(f, x: jnp.ndarray, bound: int) -> Tuple[jnp.ndarray, int]:
+    """Pairwise sum over axis -2 of (..., n, 2K) residues (n a power of
+    two), bounds doubled per level and re-normalized under the budget."""
+    n = x.shape[-2]
+    while n > 1:
+        x = f.add(x[..., 0::2, :], bound, x[..., 1::2, :], bound)[0]
+        bound *= 2
+        n //= 2
+        if bound > _NORM_AT and n >= 1:
+            x, bound = f.normalize(x, bound)
+    return x[..., 0, :], bound
+
+
+def sumcheck_prove_rns(
+    config: PoseidonConfig,
+    table: jnp.ndarray,
+    bound: int = 1,
+    rep: Optional[str] = None,
+):
+    """Prover over residues.  ``table``: (B, 2^m, 2K) f32 RNS rows of the
+    multilinear evaluations (e.g. ``RnsField.pack`` output), ``bound``
+    their value bound.  Returns ``(s_row, rounds, final_row)``:
+
+      * ``s_row``: (B, 2K) residues of the claimed sum S (bound 3),
+      * ``rounds``: list of m ((B, 2K), (B, 2K)) residue pairs
+        (p_i(0), p_i(1)), each bound 3,
+      * ``final_row``: (B, 2K) residues of g(r) (bound <= 6).
+
+    Transcript schedule (host twin must match exactly): absorb S, then
+    per round absorb [p_i(0), p_i(1)] and squeeze one challenge."""
+    B, n = table.shape[0], table.shape[1]
+    m = n.bit_length() - 1
+    assert n == 1 << m and m >= 1
+    t = FiatShamirRns(config, batch_shape=(B,), rep=rep)
+    f = t.field
+
+    s_row, sb = _tree_sum(f, table, bound)
+    s_row, sb = f.normalize(s_row, sb)
+    t.absorb(s_row[:, None, :], bound=sb)
+
+    rounds: List[Tuple[jnp.ndarray, jnp.ndarray]] = []
+    T, tb = table, bound
+    one = jnp.broadcast_to(jnp.asarray(f.pack(1)), (B, 2 * f.plan.k))
+    for _ in range(m):
+        half = T.shape[1] // 2
+        T0, T1 = T[:, :half], T[:, half:]
+        p0, b0 = _tree_sum(f, T0, tb)
+        p1, b1 = _tree_sum(f, T1, tb)
+        p0, b0 = f.normalize(p0, b0)
+        p1, b1 = f.normalize(p1, b1)
+        rounds.append((p0, p1))
+        t.absorb(
+            jnp.concatenate([p0[:, None, :], p1[:, None, :]], axis=1),
+            bound=max(b0, b1),
+        )
+        r, rb = t.challenge()
+        om, ob = f.sub(one, 1, r, rb)  # 1 - r
+        a0, _ = f.mul(T0, tb, om[:, None, :], ob)
+        a1, _ = f.mul(T1, tb, r[:, None, :], rb)
+        T, tb = f.add(a0, 3, a1, 3)
+    return s_row, rounds, T[:, 0, :]
+
+
+def sumcheck_prove_host(config: PoseidonConfig, table_host) -> tuple:
+    """Host-oracle twin (python ints).  ``table_host``: (B, 2^m) object
+    array of plain ints.  Returns ``(sums, rounds, challenges, finals)``
+    as per-instance int lists."""
+    p = config.field.p
+    B, n = len(table_host), len(table_host[0])
+    m = n.bit_length() - 1
+    assert n == 1 << m
+    sums, rounds, challenges, finals = [], [], [], []
+    for b in range(B):
+        sp = PoseidonSponge(config)
+        T = [int(v) % p for v in table_host[b]]
+        S = sum(T) % p
+        sp.absorb_elements([S])
+        rs, ps = [], []
+        for _ in range(m):
+            half = len(T) // 2
+            p0 = sum(T[:half]) % p
+            p1 = sum(T[half:]) % p
+            sp.absorb_elements([p0, p1])
+            r = sp.squeeze_native_field_elements(1)[0]
+            T = [
+                (T[j] * (1 - r) + T[half + j] * r) % p for j in range(half)
+            ]
+            rs.append(r)
+            ps.append((p0, p1))
+        sums.append(S)
+        rounds.append(ps)
+        challenges.append(rs)
+        finals.append(T[0])
+    return sums, rounds, challenges, finals
+
+
+def sumcheck_verify_host(config: PoseidonConfig, claimed_sum: int,
+                         rounds, g_r: int) -> bool:
+    """Host verifier: replays the transcript, checks the running
+    consistency p_i(0) + p_i(1) == p_{i-1}(r_{i-1}) (== S for i = 0),
+    and the final oracle value g(r)."""
+    p = config.field.p
+    sp = PoseidonSponge(config)
+    sp.absorb_elements([claimed_sum % p])
+    expect = claimed_sum % p
+    last = None
+    for p0, p1 in rounds:
+        if (p0 + p1) % p != expect:
+            return False
+        sp.absorb_elements([p0 % p, p1 % p])
+        r = sp.squeeze_native_field_elements(1)[0]
+        expect = (p0 * (1 - r) + p1 * r) % p
+        last = expect
+    return last == g_r % p
