@@ -76,3 +76,41 @@ def test_sumcheck_small_known_instance():
     r = chals[0][0]
     assert finals[0] == (5 * (1 - r) + 9 * r) % FR.p
     assert sumcheck_verify_host(cfg, 14, rounds[0], finals[0])
+
+
+@pytest.mark.slow
+def test_sumcheck_sharded(rng):
+    """The batched prover under shard_map (instances data-parallel,
+    zero collectives): identical transcript outputs on a D-device mesh."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    from crypto_primitives_tpu.parallel import make_mesh
+
+    D = 8
+    cfg = get_default_poseidon_parameters(FR, 2, False)
+    B, m = 2 * D, 3
+    table = np.asarray(
+        [[rng.randrange(FR.p) for _ in range(1 << m)] for _ in range(B)],
+        dtype=object,
+    )
+    f = FiatShamirRns(cfg, batch_shape=(B,), rep="rns").field
+    t_rns = jnp.asarray(f.pack(table))
+
+    def prove(t):
+        s, rounds, fin = sumcheck_prove_rns(cfg, t, rep="rns")
+        return s, jnp.stack([jnp.stack(r) for r in rounds]), fin
+
+    sharded = jax.shard_map(
+        prove,
+        mesh=make_mesh(D),
+        in_specs=P("data", None, None),
+        out_specs=(P("data", None), P(None, None, "data", None), P("data", None)),
+        check_vma=False,
+    )
+    gs, gr, gf = sharded(t_rns)
+    ws, wr, wf = prove(t_rns)
+    assert np.array_equal(np.asarray(gs), np.asarray(ws))
+    assert np.array_equal(np.asarray(gr), np.asarray(wr))
+    assert np.array_equal(np.asarray(gf), np.asarray(wf))
