@@ -321,8 +321,44 @@ class BatchConstraintSystem(ConstraintSystem):
             "check_satisfied_device"
         )
 
-    def which_unsatisfied(self):
-        raise NotImplementedError("use is_satisfied() (device check)")
+    def which_unsatisfied(self, instance: int = None):
+        """First failing constraint index — as an (N,) int array of
+        per-instance indices (-1 = satisfied), or one instance's index /
+        None when ``instance`` is given (the scalar-tier debugging twin).
+        Small-domain circuits only; field circuits use the scalar tier
+        per instance."""
+        sd = self._small_check_data()
+        if sd is None:
+            raise NotImplementedError(
+                "per-constraint debugging needs the small-domain check; "
+                "re-synthesize the failing instance on the scalar tier"
+            )
+        n = self.num_constraints
+        rows = np.empty((len(self.assignments), self.batch), np.int64)
+        for i, v in enumerate(self.assignments):
+            rows[i] = v.v if isinstance(v, SmallWord) else self._centered(int(v))
+        with jax.enable_x64():
+            z = jnp.asarray(rows)
+
+            def ev(tri):
+                ri, ci, cc = tri
+                prods = jnp.asarray(cc)[:, None] * z[ci]
+                return jax.ops.segment_sum(
+                    prods, jnp.asarray(ri), num_segments=n
+                )
+
+            a, b, c = (ev(t) for t in sd)
+            bad = a * b != c  # (n, N)
+            first = jnp.where(
+                bad.any(axis=0),
+                jnp.argmax(bad, axis=0),
+                -1,
+            )
+            out = np.asarray(first)
+        if instance is None:
+            return out
+        idx = int(out[instance])
+        return None if idx < 0 else idx
 
     def is_satisfied(self) -> bool:
         """ALL instances satisfied, one device program (the batched twin of

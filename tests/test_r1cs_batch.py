@@ -276,3 +276,27 @@ def test_batched_blake2s_device_check(rng):
     per = np.asarray(bcs.satisfied_per_instance()).tolist()
     assert per[2] is False or per[2] == False  # noqa: E712
     assert all(per[i] for i in range(N) if i != 2)
+
+
+def test_batched_which_unsatisfied_byte_circuit(rng):
+    """Per-instance first-failing-constraint debugging on the
+    small-domain check (the scalar tier's which_unsatisfied twin)."""
+    from crypto_primitives_tpu.r1cs.batch import SmallWord
+    from crypto_primitives_tpu.r1cs.vars import UInt32
+
+    N = 4
+    xs = [rng.randrange(1 << 32) for _ in range(N)]
+    bcs = BatchConstraintSystem(FR, N)
+    a = UInt32.new_witness(bcs, np.asarray(xs, np.uint64))
+    b = UInt32.new_witness(bcs, np.asarray(xs, np.uint64))
+    c = a ^ b  # all-zero result, one constraint per bit pair
+    assert np.asarray(bcs.which_unsatisfied()).tolist() == [-1] * N
+    assert bcs.which_unsatisfied(2) is None
+    # flip one xor output bit in instance 2: its constraint must be named
+    k = list(c.bits[5].fp.lc.terms)[0]
+    w = bcs.assignments[k]
+    assert isinstance(w, SmallWord)
+    w.v[2] ^= 1
+    out = np.asarray(bcs.which_unsatisfied()).tolist()
+    assert out[2] >= 0 and all(out[i] == -1 for i in range(N) if i != 2)
+    assert bcs.which_unsatisfied(2) == out[2]
