@@ -27,4 +27,11 @@ for name in ("quickstart_sponge", "merkle_membership",
              "sign_encrypt_commit", "sumcheck_protocol"):
     print(f"--- examples/{name}.py ---")
     runpy.run_path(f"/root/repo/examples/{name}.py", run_name="__main__")
+
+# the multichip example pins its own virtual CPU mesh -> fresh process
+import os, subprocess, sys
+print("--- examples/multichip_sharding.py (subprocess) ---")
+env = dict(os.environ); env.pop("XLA_FLAGS", None)
+subprocess.run([sys.executable, "/root/repo/examples/multichip_sharding.py"],
+               check=True, env=env, timeout=300)
 print("ALL EXAMPLES PASS ON", jax.devices()[0].platform)
