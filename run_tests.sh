@@ -11,7 +11,7 @@
 #   slow tiers  (~80-250 s each): device-oracle fuzz groups
 set -e
 cd "$(dirname "$0")"
-echo "== fast tier A1 (a-l) =="   # ~155 s solo (incl. test_examples ~45 s)
+echo "== fast tier A1 (a-l) =="   # ~175 s solo (incl. test_examples ~65 s)
 timeout 540 python -m pytest tests/test_[a-l]*.py -q -m "not slow"
 echo "== fast tier A2 (m-q) =="   # ~165 s solo
 timeout 540 python -m pytest tests/test_[m-q]*.py -q -m "not slow"
