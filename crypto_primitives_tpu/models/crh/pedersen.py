@@ -72,7 +72,7 @@ class PedersenParameters:
     @functools.cache
     def packed_native(self) -> np.ndarray:
         """Same flat table packed for the C++ host engine's bit-table MSM
-        (native/cpmont.cpp cpm_*_msm_bits_batch)."""
+        (crypto_primitives_tpu/native/cpmont.cpp cpm_*_msm_bits_batch)."""
         from crypto_primitives_tpu import native
 
         flat = [g for win in self.generators for g in win]

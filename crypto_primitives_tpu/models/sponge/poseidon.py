@@ -529,7 +529,7 @@ class PoseidonSponge:
 
     def permute(self):
         """Compiled C++ permutation when the native engine is loaded (the
-        reference's native tier is compiled Rust; ours is native/cpmont.cpp),
+        reference's native tier is compiled Rust; ours is crypto_primitives_tpu/native/cpmont.cpp),
         python-int rounds otherwise.  CPT_NATIVE=0 forces the python path,
         which stays the parity oracle (_permute_python)."""
         from crypto_primitives_tpu import native

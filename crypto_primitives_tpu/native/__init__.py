@@ -27,8 +27,24 @@ import numpy as np
 
 from crypto_primitives_tpu.ops.field import FieldSpec
 
-_SRC = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), "native", "cpmont.cpp")
-_SO = os.path.join(os.path.dirname(_SRC), "build", "libcpmont.so")
+# The C++ source ships INSIDE the package (package data), so a plain
+# `pip install .` still gets the compiled host tier — no source checkout
+# needed.  The .so lands next to the source when the install is writable,
+# else in a per-user cache directory.
+_SRC = os.path.join(os.path.dirname(os.path.abspath(__file__)), "cpmont.cpp")
+
+
+def _so_path() -> str:
+    pkg_build = os.path.join(os.path.dirname(_SRC), "build")
+    if os.access(os.path.dirname(_SRC), os.W_OK):
+        return os.path.join(pkg_build, "libcpmont.so")
+    cache = os.path.join(
+        os.path.expanduser("~"), ".cache", "crypto_primitives_tpu"
+    )
+    return os.path.join(cache, "libcpmont.so")
+
+
+_SO = _so_path()
 
 _u64p = ctypes.POINTER(ctypes.c_uint64)
 _u8p = ctypes.POINTER(ctypes.c_uint8)
@@ -48,7 +64,17 @@ def _lib() -> Optional[ctypes.CDLL]:
                 capture_output=True,
             )
         lib = ctypes.CDLL(_SO)
-    except Exception:
+    except Exception as e:
+        if os.environ.get("CPT_NATIVE", "1") != "0":
+            import warnings
+
+            warnings.warn(
+                "crypto_primitives_tpu: native host engine unavailable "
+                f"({type(e).__name__}: {e}); single-op host paths fall back "
+                "to the exact python-int tier (set CPT_NATIVE=0 to silence)",
+                RuntimeWarning,
+                stacklevel=3,
+            )
         return None
     sigs = {
         "cpm_field_new": (_vp, [_i, _u64p, _u64p, ctypes.c_uint64]),

@@ -86,7 +86,7 @@ class TECurveSpec:
 
     def scalar_mul_host(self, pt, k: int):
         """Single scalar mul on host: compiled C++ engine when loaded (the
-        reference's per-op path is compiled Rust; ours is native/cpmont.cpp),
+        reference's per-op path is compiled Rust; ours is crypto_primitives_tpu/native/cpmont.cpp),
         python-int double-and-add otherwise (and always under CPT_NATIVE=0,
         keeping the oracle reachable for cross-model tests)."""
         from crypto_primitives_tpu import native

@@ -8,8 +8,9 @@ to fold the top — weak-scaling by construction.  The sharded root and
 every auth path are asserted bit-equal to the single-device tree.
 
 This script forces an 8-virtual-device CPU mesh so it runs anywhere
-(including a 1-chip box); on a real pod slice drop the XLA_FLAGS line
-and `make_mesh()` picks up the physical chips.
+(including a 1-chip box).  On a real pod slice run with
+CPT_EXAMPLE_REAL_MESH=1: that skips BOTH the XLA_FLAGS injection and the
+CPU platform pin below, and `make_mesh()` picks up the physical chips.
 
 Run: python examples/multichip_sharding.py
 """
@@ -17,12 +18,20 @@ Run: python examples/multichip_sharding.py
 import os
 import sys
 
-os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")  # virtual 8-device mesh (see above)
+if not os.environ.get("CPT_EXAMPLE_REAL_MESH"):
+    # Append (not setdefault): a pre-existing XLA_FLAGS would otherwise
+    # silently suppress the virtual device count and make_mesh(8) would
+    # fail on a 1-device box.
+    _flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in _flags:
+        os.environ["XLA_FLAGS"] = (
+            _flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
+    jax.config.update("jax_platforms", "cpu")  # virtual 8-device mesh
 
 import jax.numpy as jnp
 import numpy as np

@@ -4,7 +4,7 @@ One tour through the reference's `signature`, `encryption`,
 `commitment`, and `prf` modules (src/signature/schnorr/mod.rs,
 src/encryption/elgamal/mod.rs, src/commitment/pedersen/mod.rs,
 src/prf/blake2s/mod.rs) on the JubJub curve.  Single-op calls run on
-the compiled C++ host engine (native/cpmont.cpp) when available; the
+the compiled C++ host engine (crypto_primitives_tpu/native/cpmont.cpp) when available; the
 `*_batch` twins run the same schemes as one XLA dispatch on device.
 
 Run: python examples/sign_encrypt_commit.py

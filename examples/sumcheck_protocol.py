@@ -53,14 +53,19 @@ def main():
     print(f"claimed sums match across tiers: {[s % 10**8 for s in s_dev]}...")
 
     # the host verifier accepts the device prover's transcript...
+    per_instance_msgs = []
     for b in range(B):
         msgs = [
             (int(f.unpack(np.asarray(p0))[b]), int(f.unpack(np.asarray(p1))[b]))
             for p0, p1 in rounds
         ]
+        per_instance_msgs.append(msgs)
         assert sumcheck_verify_host(cfg, s_dev[b], msgs, fin_dev[b])
-    # ...and rejects a forged claimed sum (soundness via Fiat-Shamir)
-    assert not sumcheck_verify_host(cfg, (s_dev[0] + 1) % FR.p, msgs, fin_dev[-1])
+    # ...and rejects a forged claimed sum against that SAME instance's own
+    # round messages and final value (soundness via Fiat-Shamir)
+    assert not sumcheck_verify_host(
+        cfg, (s_dev[0] + 1) % FR.p, per_instance_msgs[0], fin_dev[0]
+    )
     print(f"{B} sumcheck transcripts verified; forged claim rejected")
 
 
