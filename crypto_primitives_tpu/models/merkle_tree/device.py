@@ -392,7 +392,7 @@ def _rns_compress_fns(spec, config):
     from crypto_primitives_tpu.ops.poseidon_rns_pallas import permute_rns
 
     plan = rns.build_plan(spec.p)
-    K = rns.K
+    K = plan.k  # plan geometry (legacy 24, or a big mid-red plan's k)
     t = config.t
     assert config.rate >= 2 and config.capacity == 1
     interp = jax.default_backend() != "tpu"  # pallas interpreter off-TPU
@@ -444,7 +444,7 @@ def poseidon_rns_device_tree(spec, config, leaf_elements) -> DeviceMerkleTree:
     from crypto_primitives_tpu.ops import rns
 
     plan, leaf_hash, compress, compress_level = _rns_compress_fns(spec, config)
-    K = rns.K
+    K = plan.k
 
     if not isinstance(leaf_elements, (jnp.ndarray, np.ndarray)):
         mont = np.asarray(

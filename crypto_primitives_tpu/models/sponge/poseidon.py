@@ -160,14 +160,16 @@ def _bits_le_to_field(bits: jnp.ndarray, spec) -> jnp.ndarray:
 
 @functools.cache
 def _rns_supported(spec: FieldSpec) -> bool:
-    """True when ops/rns.py can build a plan the fused Poseidon kernel
-    accepts (the kernel hard-codes the legacy 2x24 geometry; big mid-red
-    plans exist only for curve base fields, which no sponge runs over)."""
+    """True when ops/rns.py can build a plan for the modulus.  The fused
+    kernel is parameterized by the plan geometry (round 5) — legacy 2x24
+    and big mid-red plans (>256-bit fields, e.g. the BLS12-381 base
+    field) both ride it; only moduli past the 11-bit prime pool fall
+    back to the limb tier."""
     try:
         from crypto_primitives_tpu.ops import rns
 
-        plan = rns.build_plan(spec.p)
-        return plan.k == rns.K and not plan.mid_red
+        rns.build_plan(spec.p)
+        return True
     except (AssertionError, ValueError):
         return False
 
@@ -237,10 +239,9 @@ class PoseidonSpongeBatch:
             self._bounds = [3] * config.t  # conservative for imported state
         if state is None:
             if self.rep == "rns":
-                from crypto_primitives_tpu.ops.rns import K as _K
-
                 state = jnp.zeros(
-                    self.batch_shape + (config.t, 2 * _K), jnp.float32
+                    self.batch_shape + (config.t, 2 * self._plan.k),
+                    jnp.float32,
                 )
                 self._bounds = [0] * config.t
             else:

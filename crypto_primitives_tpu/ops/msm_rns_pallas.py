@@ -52,6 +52,7 @@ def pack_combos_from_subsets(curve, groups) -> np.ndarray:
     assert curve.a == curve.base.p - 1, "kernel specialized for a = -1"
     p = curve.base.p
     plan = rns.build_plan(p)
+    K = plan.k  # plan geometry (legacy 24, or a big mid-red plan's k)
     G = len(groups)
     ew = len(groups[0])
     d = curve.d
@@ -85,6 +86,8 @@ def pack_combos_kernel(curve, pts, w: int = 4) -> np.ndarray:
 def _msm_consts(plan: rns.RNSPlan, curve):
     """Column constants: the 12-row vec of poseidon_rns_pallas plus the
     sub offsets and the Montgomery-one residues for the identity init."""
+
+    K = plan.k
 
     def col(a):
         return np.asarray(a, np.float32).reshape(-1, 1)
@@ -148,6 +151,8 @@ def _make_msm_kernel(plan: rns.RNSPlan, G: int, w: int, ablate: str = None,
     tools/ablate_msm.py measures at small batch (G must be a multiple of
     n_par; accumulator j owns groups [j*G/n_par, (j+1)*G/n_par))."""
     f32 = jnp.float32
+    K = plan.k  # plan geometry
+    mid_red = plan.mid_red
     EW = 1 << w
     assert G % n_par == 0, (G, n_par)
     SG = G // n_par  # groups per accumulator
@@ -181,6 +186,8 @@ def _make_msm_kernel(plan: rns.RNSPlan, G: int, w: int, ablate: str = None,
             L1 = out[2 * K + 1 : 2 * K + 2]
             L2 = out[2 * K + 2 :]
             lam = jnp.floor((L0 + L1) + L2 + f32(delta))
+            if mid_red:  # big plans: raw U1 rows, reduce before the 64 fold
+                U1 = f32(1 << DIGIT) * red(U1, inv, m)
             return red((U0 + U1) + lam * negM, inv, m)
 
         def mont_reduce(wv, s1_ready):
@@ -281,6 +288,7 @@ def _make_msm_kernel(plan: rns.RNSPlan, G: int, w: int, ablate: str = None,
 def _build_grouped_msm(curve, G: int, w: int, block_b: int, interpret: bool,
                        ablate: str = None, n_par: int = 1):
     plan = rns.build_plan(curve.base.p)
+    K = plan.k
     vec, e1w, e2w = _msm_consts(plan, curve)
     kernel = _make_msm_kernel(plan, G, w, ablate, n_par)
     P = n_par
@@ -408,7 +416,8 @@ def grouped_msm_pallas(
         curve, Gp, w, blockb, interpret, ablate, n_par
     )
     out = run(combos, idx)
-    return out.reshape(batch + (4, 2 * K))
+    k = rns.build_plan(curve.base.p).k
+    return out.reshape(batch + (4, 2 * k))
 
 
 @functools.lru_cache(maxsize=16)

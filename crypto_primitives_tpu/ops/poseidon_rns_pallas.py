@@ -63,6 +63,7 @@ def _plan_consts(plan: rns.RNSPlan, config, sched=None, twisted=False):
     sparse-partial-round tables: sp_tab[r] = [m00, v_hat.., w..] rows for
     sparse partial round r, mds_pre for full round rf2-1, dense_tab for the
     dense partial rounds, and folds-based ark tables."""
+    K = plan.k  # shadow the module default: all shapes follow the plan
     t = config.t
     p = plan.p
     col = lambda a: np.asarray(a, dtype=np.float32).reshape(-1, 1)
@@ -179,6 +180,8 @@ def _make_kernel(plan: rns.RNSPlan, config, ablate: str = "", sched=None,
     # sched: optional poseidon_sparse.SparseSchedule (v6.5) — partial rounds
     # run sparse-factorized MDS layers (2t-1 products, identity part folded
     # as a value addend into the Montgomery reduction).
+    K = plan.k  # plan geometry (legacy 24, or the big mid-red plans' k)
+    mid_red = plan.mid_red
     t = config.t
     alpha = config.alpha
     rf2 = config.full_rounds // 2
@@ -218,7 +221,10 @@ def _make_kernel(plan: rns.RNSPlan, config, ablate: str = "", sched=None,
             """No-mid-red recombine (rns._ext_matrix): the 4096*S2 plane is
             folded into the U0/U1 weight blocks mod m, so
             X = U0 + 64*U1 + lam*negM stays < 2^24 (bound asserted in
-            rns.build_plan) and only the final Barrett red remains."""
+            rns.build_plan) and only the final Barrett red remains.  Big
+            (mid_red) plans carry raw U1 rows instead — the 64-fold would
+            overflow the f32-exact budget at k > 24 — and Barrett-reduce
+            U1 before the 64-scale recombine (rns._ext twin)."""
             d1 = jnp.floor(s * f32(2.0**-DIGIT))
             d0 = s - d1 * f32(1 << DIGIT)
             if "nomxu" in ablate:
@@ -240,7 +246,9 @@ def _make_kernel(plan: rns.RNSPlan, config, ablate: str = "", sched=None,
             lam = jnp.floor((L0 + L1) + L2 + f32(delta))  # scales folded in W
             if "nored" in ablate:
                 return red(U0 + lam * negM, inv, m)
-            X = (U0 + U1) + lam * negM  # U1's 64 scale folded in W (v6.4)
+            if mid_red:
+                U1 = f32(1 << DIGIT) * red(U1, inv, m)
+            X = (U0 + U1) + lam * negM  # else U1's 64 scale folded in W
             return red(X, inv, m)
 
         def mont_reduce(w, ark2=None, s1_ready=False, c2_ready=False,
@@ -503,11 +511,12 @@ def _build_rns_permute(
     plan: rns.RNSPlan, config, block_b: int, interpret: bool, ablate: str = "",
     sparse: bool = False, twisted: bool = False,
 ):
+    K = plan.k  # plan geometry (see _make_kernel)
     t = config.t
     sched = _sparse_schedule(plan, config) if sparse else None
     kernel, consts = _make_kernel(plan, config, ablate, sched, twisted)
 
-    # pack the column constants into one (12, 2K, 1) array; base-1-only
+    # pack the column constants into one (14, 2K, 1) array; base-1-only
     # vectors sit in rows :K with zero padding
     def pad2k(a):
         out = np.zeros((2 * K, 1), dtype=np.float32)

@@ -211,12 +211,24 @@ def _geometry(p: int):
     primes = _small_primes_desc(2048, 2 * K)
     b1, b2 = primes[0::2], primes[1::2]
     prod = lambda xs: functools.reduce(lambda a, b: a * b, xs, 1)
-    if prod(b1) > 16 * p and prod(b2) > 16 * p:
+    # The legacy geometry is admitted only when M1 clears 64p (not just
+    # the 16p beta-fixpoint margin): the curve tiers' value-bound ledgers
+    # peak at 54 (TE HWCD) / 36 (SW RCB), and a plan that admits the
+    # modulus but not the ledger used to crash every device curve op at
+    # trace time (ed25519's 2^255-19 lands at M1//p = 49, secp256r1 at
+    # 24 — round-5 fix: both now get a big plan and ride the fused
+    # kernels instead).
+    if prod(b1) > 64 * p and prod(b2) > 16 * p:
         return K, LAM_SHIFT, False, b1, b2
     # big geometry: grow k until BOTH interleaved bases clear the margin.
     # M1 needs extra headroom: curve tiers need bound_a*bound_b <= M1//p
-    # (TE HWCD peaks at 54), so demand M1 > 64p.
-    for k in range(K + 4, 45, 4):
+    # (TE HWCD peaks at 54), so demand M1 > 64p.  k stays a multiple of 8:
+    # the fused Pallas kernels slice/concat (K, B) row blocks, and Mosaic
+    # requires the sublane offsets of lane-concat operands to agree — an
+    # 8-aligned K keeps every per-base row block tile-aligned (f32 tiles
+    # are (8, 128)); the few extra residues cost ~the same as padding
+    # would, with none of the kernel complexity.
+    for k in range(K + 8, 49, 8):
         primes = _small_primes_desc(2048, 2 * k)
         b1, b2 = primes[0::2], primes[1::2]
         if prod(b1) > 64 * p and prod(b2) > 16 * p:
