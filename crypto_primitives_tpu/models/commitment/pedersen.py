@@ -39,17 +39,29 @@ class PedersenCommitmentParameters:
 
     @functools.cache
     def packed_randomness_rns(self) -> np.ndarray:
-        return cr.pack_points_rns(self.curve, self.randomness_generator)
+        from crypto_primitives_tpu.ops.curve_rns_any import rns_mod
+
+        return rns_mod(self.curve).pack_points_rns(
+            self.curve, self.randomness_generator
+        )
 
     @functools.cache
     def packed_randomness_grouped_rns(self, w: int = 3) -> np.ndarray:
-        return cr.pack_table_grouped(self.curve, self.randomness_generator, w)
+        from crypto_primitives_tpu.ops.curve_rns_any import rns_mod
+
+        return rns_mod(self.curve).pack_table_grouped(
+            self.curve, self.randomness_generator, w
+        )
 
     @functools.cache
     def packed_randomness_grouped_kernel(self, w: int = 3) -> np.ndarray:
-        from crypto_primitives_tpu.ops import msm_rns_pallas as mk
+        # curve-model dispatched (TE: msm_rns_pallas layout; SW:
+        # msm_sw_rns_pallas projective layout)
+        from crypto_primitives_tpu.ops.curve_rns_any import rns_mod
 
-        return mk.pack_combos_kernel(self.curve, self.randomness_generator, w)
+        return rns_mod(self.curve).pack_combos_kernel(
+            self.curve, self.randomness_generator, w
+        )
 
     # adapter so conditional_sum_grouped_auto can treat the blinding table
     # like a params object
@@ -111,16 +123,19 @@ class PedersenCommitment:
 
         Returns affine commitments (..., 2, L).
         """
-        if cr.supports_rns(self.curve):
+        from crypto_primitives_tpu.ops.curve_rns_any import rns_mod
+
+        mod = rns_mod(self.curve)
+        if mod is not None:
             w = self.crh.GROUP_W
             msg = self.crh.evaluate_batch_rns(params.crh_params(), inputs)
-            blind = cr.conditional_sum_grouped_auto(
+            blind = mod.conditional_sum_grouped_auto(
                 self.curve, params, randomness, w
             )
-            ext = cr.to_limb_points(
-                self.curve, cr.te_add_rns(self.curve, msg, blind)
+            ext = mod.to_limb_points(
+                self.curve, mod.add_rns(self.curve, msg, blind)
             )
-            return cv.te_to_affine(self.curve, ext)
+            return self.curve.dev_to_affine(ext)
         msg = self.crh.evaluate_batch_extended(params.crh_params(), inputs)
         blind = self.curve.dev_conditional_sum(params.packed_randomness(), randomness)
         return self.curve.dev_to_affine(self.curve.dev_add(msg, blind))

@@ -80,12 +80,14 @@ class PedersenParameters:
 
     @functools.cache
     def packed_grouped_kernel(self, w: int = 3) -> np.ndarray:
-        """Same tables in the fused Pallas kernel layout (digit planes,
-        twisted residues, d folded into T; ops/msm_rns_pallas.py)."""
-        from crypto_primitives_tpu.ops import msm_rns_pallas as mk
+        """Same tables in the fused Pallas kernel layout; curve-model
+        dispatched (TE: ops/msm_rns_pallas.py digit planes with twisted
+        residues and d folded into T; SW: ops/msm_sw_rns_pallas.py
+        projective digit planes)."""
+        from crypto_primitives_tpu.ops.curve_rns_any import rns_mod
 
         flat = [g for win in self.generators for g in win]
-        return mk.pack_combos_kernel(self.curve, flat, w)
+        return rns_mod(self.curve).pack_combos_kernel(self.curve, flat, w)
 
     def __hash__(self):
         return id(self)
@@ -184,6 +186,30 @@ class PedersenCRH:
         bits = jnp.asarray(bytes_to_bits_batch(np.asarray(inputs), self.input_size_bits))
         return rns_mod(self.curve).conditional_sum_grouped_auto(
             self.curve, params, bits, self.GROUP_W
+        )
+
+    def evaluate_batch_rns_many(self, params_list, inputs_list):
+        """N independent CRH evaluations (possibly different parameter
+        sets and batch sizes) in ONE device program.
+
+        Use this when issuing many small back-to-back calls: every
+        separate device call pays the ~26 ms axon dispatch floor
+        (PERFORMANCE.md "per-call latency floor"), so N single calls pay
+        N floors while this surface pays one.  Returns the N RNS digest
+        arrays (same layout as evaluate_batch_rns)."""
+        from crypto_primitives_tpu.ops.curve_rns_any import rns_mod
+
+        bits_list = []
+        for inputs in inputs_list:
+            nbytes = inputs.shape[-1]
+            assert nbytes * 8 <= self.input_size_bits
+            bits_list.append(
+                jnp.asarray(
+                    bytes_to_bits_batch(np.asarray(inputs), self.input_size_bits)
+                )
+            )
+        return rns_mod(self.curve).msm_many(
+            self.curve, params_list, bits_list, self.GROUP_W
         )
 
     def evaluate_batch_extended(self, params: PedersenParameters, inputs: jnp.ndarray) -> jnp.ndarray:

@@ -10,8 +10,9 @@ addition) or None when the modulus exceeds the plan (381-bit BLS12-381
 G1 -> limb tier).  Both modules expose: pack_points_rns,
 unpack_affine_rns, unpack_points_rns, identity_rns, add_rns, neg_rns,
 select_rns, sum_rns, fixed_base_mul_rns, scalar_mul_bits_windowed_rns,
-conditional_sum_grouped_auto, pack_table_grouped, to_affine_rns,
-to_limb_points.
+conditional_sum_grouped_auto, msm_many (N MSMs in one device program,
+amortizing the per-call dispatch floor), pack_table_grouped,
+pack_combos_kernel, to_affine_rns, to_limb_points.
 """
 
 from crypto_primitives_tpu.ops import curve_rns as _te
