@@ -32,6 +32,16 @@ def main():
     t = timed(lambda d: crh.evaluate_batch(params, d), dev)
     emit("pedersen_crh_eval_throughput", B / t, "hashes/s")
 
+    # Bowe-Hopwood CRH evaluate over the same curve (the reference's other
+    # CRH workload; src/crh/bowe_hopwood/mod.rs:114-187).  Window sized so
+    # the 128-byte input fits the per-segment chunk cap.
+    from crypto_primitives_tpu.models.crh.bowe_hopwood import BoweHopwoodCRH
+
+    bh = BoweHopwoodCRH(ED_ON_BLS12_377, Window(window_size=63, num_windows=6))
+    bh_params = bh.setup(rng)
+    t = timed(lambda d: bh.evaluate_batch(bh_params, d), dev)
+    emit("bowe_hopwood_crh_eval_throughput", B / t, "hashes/s")
+
 
 if __name__ == "__main__":
     main()

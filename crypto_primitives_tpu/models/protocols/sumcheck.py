@@ -25,8 +25,10 @@ throughput: benches/sumcheck.py.
 
 from __future__ import annotations
 
+import functools
 from typing import List, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -99,10 +101,33 @@ def sumcheck_prove_rns(
         )
         r, rb = t.challenge()
         om, ob = f.sub(one, 1, r, rb)  # 1 - r
-        a0, _ = f.mul(T0, tb, om[:, None, :], ob)
-        a1, _ = f.mul(T1, tb, r[:, None, :], rb)
-        T, tb = f.add(a0, 3, a1, 3)
+        # carry the bounds RnsField.mul returns instead of restating them
+        # (round-4 verdict task 9: a refactor that changed MUL_OUT would
+        # silently break a hard-coded post-mul bound)
+        a0, b0m = f.mul(T0, tb, om[:, None, :], ob)
+        a1, b1m = f.mul(T1, tb, r[:, None, :], rb)
+        T, tb = f.add(a0, b0m, a1, b1m)
     return s_row, rounds, T[:, 0, :]
+
+
+@functools.lru_cache(maxsize=16)
+def sumcheck_prover_compiled(config: PoseidonConfig, bound: int = 1,
+                             rep: str = "rns"):
+    """One-dispatch compiled prover (round-4 verdict weak #3: whole
+    pipelines as single device programs).
+
+    The eager `sumcheck_prove_rns` issues one device call per jnp op —
+    each paying the per-call dispatch floor (~26 ms through the axon
+    tunnel, PERFORMANCE.md) — which dominates at small batch.  The
+    returned jitted function runs the ENTIRE m-round transcript as one
+    program: ``fn(table) -> (s_row, rounds, final_row)``.  Retraces per
+    table shape (jax.jit cache); bound bookkeeping is static so it
+    traces away."""
+
+    def fn(table):
+        return sumcheck_prove_rns(config, table, bound=bound, rep=rep)
+
+    return jax.jit(fn)
 
 
 def sumcheck_prove_host(config: PoseidonConfig, table_host) -> tuple:
