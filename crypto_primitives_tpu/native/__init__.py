@@ -96,7 +96,8 @@ def _lib() -> Optional[ctypes.CDLL]:
         "cpm_sw_to_affine_batch": (None, [_vp, _i, _u64p, _u64p, _u8p, _l]),
         "cpm_poseidon_new": (
             _vp,
-            [_u64p, _u64p, ctypes.c_uint64, _i, ctypes.c_uint64, _i, _i, _u64p, _u64p],
+            [_i, _u64p, _u64p, ctypes.c_uint64, _i, ctypes.c_uint64, _i, _i,
+             _u64p, _u64p],
         ),
         "cpm_poseidon_free": (None, [_vp]),
         "cpm_poseidon_permute": (None, [_vp, _u64p, _l]),
@@ -378,11 +379,12 @@ def curve_engine(curve):
 
 
 class NativePoseidon:
-    """Compiled Poseidon over a PoseidonConfig (4-limb, <=256-bit fields)."""
+    """Compiled Poseidon over a PoseidonConfig (4- or 6-limb fields:
+    everything through the 48-byte BLS12-381 base field)."""
 
     def __init__(self, config):
         spec = config.field
-        assert spec.bigint_bytes == 32 and spec.num_limbs % 4 == 0
+        assert _supported(spec), f"native engine does not support {spec}"
         self.config = config
         self.spec = spec
         self.codec = _FieldCodec(spec)
@@ -394,8 +396,9 @@ class NativePoseidon:
         ark = self.codec.limbs([v for row in config.ark for v in row])
         mds = self.codec.limbs([v for row in config.mds for v in row])
         self.ctx = lib.cpm_poseidon_new(
-            _ptr(p), _ptr(one), self.codec.n0(), config.t, config.alpha,
-            config.full_rounds, config.partial_rounds, _ptr(ark), _ptr(mds),
+            self.codec.nl, _ptr(p), _ptr(one), self.codec.n0(), config.t,
+            config.alpha, config.full_rounds, config.partial_rounds,
+            _ptr(ark), _ptr(mds),
         )
 
     def permute(self, states: List[List[int]]) -> List[List[int]]:
@@ -430,15 +433,14 @@ class NativePoseidon:
 def _poseidon_engine_cached(config) -> Optional[NativePoseidon]:
     if not available():
         return None
-    spec = config.field
-    if spec.bigint_bytes != 32 or spec.num_limbs % 4 != 0:
+    if not _supported(config.field):
         return None
     return NativePoseidon(config)
 
 
 def poseidon_engine(config):
     """Compiled Poseidon permutation engine for a config, or None (gate:
-    library availability, <=256-bit field, CPT_NATIVE=0)."""
+    library availability, 4/6-limb field layout, CPT_NATIVE=0)."""
     if not enabled():
         return None
     return _poseidon_engine_cached(config)

@@ -346,43 +346,118 @@ inline u8 sw_to_affine(const SWCtx<N>* sc, const u64 pt[3 * N], u64 xy[2 * N]) {
 }
 
 // ----------------------------------------------------------------------
-// Poseidon (N = 4 fields: all supported scalar fields are <= 256 bits)
+// Poseidon (templated over the limb count: N = 4 for <= 256-bit fields,
+// N = 6 for 48-byte fields such as the BLS12-381 base field)
 // ----------------------------------------------------------------------
 
-struct PoseidonCtx {
-  FieldCtx<4> field;
+template <int N>
+void init_field(FieldCtx<N>* c, const u64* p, const u64* one, u64 n0);
+
+template <int N>
+struct PoseidonCtxT {
+  FieldCtx<N> field;
   int t;
   u64 alpha;
   int full_rounds;
   int partial_rounds;
-  std::vector<u64> ark;  // (R_F+R_P) * t * 4
-  std::vector<u64> mds;  // t * t * 4
+  std::vector<u64> ark;  // (R_F+R_P) * t * N
+  std::vector<u64> mds;  // t * t * N
 };
 
-inline void permute_one(const PoseidonCtx* pc, u64* state /* t*4 */) {
-  const FieldCtx<4>* c = &pc->field;
+// nl-erased handle so the C ABI keeps single permute/compress/build
+// entry points (the curve API's nl-parameter pattern, minus the
+// per-call branching)
+struct PoseidonAny {
+  int nl;
+  void* ctx;
+};
+
+template <int N>
+inline void permute_one(const PoseidonCtxT<N>* pc, u64* state /* t*N */) {
+  const FieldCtx<N>* c = &pc->field;
   int t = pc->t;
   int rf2 = pc->full_rounds / 2;
   int total = pc->full_rounds + pc->partial_rounds;
-  std::vector<u64> nw(t * 4);
-  u64 term[4];
+  std::vector<u64> nw((size_t)t * N);
+  u64 term[N];
   for (int r = 0; r < total; ++r) {
     bool full = (r < rf2) || (r >= rf2 + pc->partial_rounds);
-    const u64* ark_row = &pc->ark[(size_t)r * t * 4];
+    const u64* ark_row = &pc->ark[(size_t)r * t * N];
     for (int i = 0; i < t; ++i)
-      add_mod<4>(c, &state[i * 4], &ark_row[i * 4], &state[i * 4]);
+      add_mod<N>(c, &state[i * N], &ark_row[i * N], &state[i * N]);
     int nbox = full ? t : 1;
     for (int i = 0; i < nbox; ++i)
-      mont_pow_u64<4>(c, &state[i * 4], pc->alpha, &state[i * 4]);
+      mont_pow_u64<N>(c, &state[i * N], pc->alpha, &state[i * N]);
     for (int i = 0; i < t; ++i) {
-      u64 acc[4] = {0, 0, 0, 0};
+      u64 acc[N];
+      std::memset(acc, 0, sizeof(acc));
       for (int j = 0; j < t; ++j) {
-        mont_mul<4>(c, &pc->mds[((size_t)i * t + j) * 4], &state[j * 4], term);
-        add_mod<4>(c, acc, term, acc);
+        mont_mul<N>(c, &pc->mds[((size_t)i * t + j) * N], &state[j * N], term);
+        add_mod<N>(c, acc, term, acc);
       }
-      std::memcpy(&nw[i * 4], acc, 32);
+      std::memcpy(&nw[(size_t)i * N], acc, N * 8);
     }
-    std::memcpy(state, nw.data(), (size_t)t * 32);
+    std::memcpy(state, nw.data(), (size_t)t * N * 8);
+  }
+}
+
+template <int N>
+PoseidonCtxT<N>* poseidon_new_t(const u64* p, const u64* one, u64 n0, int t,
+                                u64 alpha, int full_rounds, int partial_rounds,
+                                const u64* ark, const u64* mds) {
+  auto* pc = new PoseidonCtxT<N>();
+  init_field<N>(&pc->field, p, one, n0);
+  pc->t = t;
+  pc->alpha = alpha;
+  pc->full_rounds = full_rounds;
+  pc->partial_rounds = partial_rounds;
+  size_t nark = (size_t)(full_rounds + partial_rounds) * t * N;
+  pc->ark.assign(ark, ark + nark);
+  pc->mds.assign(mds, mds + (size_t)t * t * N);
+  return pc;
+}
+
+template <int N>
+void poseidon_two_to_one_t(const PoseidonCtxT<N>* pc, const u64* left,
+                           const u64* right, u64* out, long n) {
+  int t = pc->t;
+  std::vector<u64> state((size_t)t * N);
+  for (long i = 0; i < n; ++i) {
+    std::memset(state.data(), 0, (size_t)t * N * 8);
+    std::memcpy(&state[N], left + (size_t)i * N, N * 8);
+    std::memcpy(&state[2 * N], right + (size_t)i * N, N * 8);
+    permute_one<N>(pc, state.data());
+    std::memcpy(out + (size_t)i * N, &state[N], N * 8);
+  }
+}
+
+template <int N>
+void merkle_build_t(const PoseidonCtxT<N>* pc, const u64* leaves, long n,
+                    u64* non_leaf) {
+  long level = n / 2;
+  long start = level - 1;
+  {
+    std::vector<u64> l((size_t)level * N), r((size_t)level * N);
+    for (long i = 0; i < level; ++i) {
+      std::memcpy(&l[(size_t)i * N], leaves + (size_t)(2 * i) * N, N * 8);
+      std::memcpy(&r[(size_t)i * N], leaves + (size_t)(2 * i + 1) * N, N * 8);
+    }
+    poseidon_two_to_one_t<N>(pc, l.data(), r.data(),
+                             non_leaf + (size_t)start * N, level);
+  }
+  while (level > 1) {
+    long prev_start = start;
+    level /= 2;
+    start = level - 1;
+    std::vector<u64> l((size_t)level * N), r((size_t)level * N);
+    for (long i = 0; i < level; ++i) {
+      std::memcpy(&l[(size_t)i * N],
+                  non_leaf + (size_t)(prev_start + 2 * i) * N, N * 8);
+      std::memcpy(&r[(size_t)i * N],
+                  non_leaf + (size_t)(prev_start + 2 * i + 1) * N, N * 8);
+    }
+    poseidon_two_to_one_t<N>(pc, l.data(), r.data(),
+                             non_leaf + (size_t)start * N, level);
   }
 }
 
@@ -600,71 +675,68 @@ void cpm_sw_to_affine_batch(const void* sc, int nl, const u64* pts, u64* xy,
           sw_to_affine<6>((const SWCtx<6>*)sc, pts + i * 18, xy + i * 12);
 }
 
-// -------- Poseidon (4-limb fields) --------
+// -------- Poseidon (nl = 4 or 6 limb fields) --------
 
-PoseidonCtx* cpm_poseidon_new(const u64 p[4], const u64 one[4], u64 n0, int t,
-                              u64 alpha, int full_rounds, int partial_rounds,
-                              const u64* ark, const u64* mds) {
-  PoseidonCtx* pc = new PoseidonCtx();
-  init_field<4>(&pc->field, p, one, n0);
-  pc->t = t;
-  pc->alpha = alpha;
-  pc->full_rounds = full_rounds;
-  pc->partial_rounds = partial_rounds;
-  size_t nark = (size_t)(full_rounds + partial_rounds) * t * 4;
-  pc->ark.assign(ark, ark + nark);
-  pc->mds.assign(mds, mds + (size_t)t * t * 4);
-  return pc;
+void* cpm_poseidon_new(int nl, const u64* p, const u64* one, u64 n0, int t,
+                       u64 alpha, int full_rounds, int partial_rounds,
+                       const u64* ark, const u64* mds) {
+  auto* pa = new PoseidonAny();
+  pa->nl = nl;
+  if (nl == 4)
+    pa->ctx = poseidon_new_t<4>(p, one, n0, t, alpha, full_rounds,
+                                partial_rounds, ark, mds);
+  else if (nl == 6)
+    pa->ctx = poseidon_new_t<6>(p, one, n0, t, alpha, full_rounds,
+                                partial_rounds, ark, mds);
+  else {
+    delete pa;
+    return nullptr;
+  }
+  return pa;
 }
 
-void cpm_poseidon_free(PoseidonCtx* pc) { delete pc; }
+void cpm_poseidon_free(void* h) {
+  auto* pa = (PoseidonAny*)h;
+  if (pa->nl == 4) delete (PoseidonCtxT<4>*)pa->ctx;
+  else delete (PoseidonCtxT<6>*)pa->ctx;
+  delete pa;
+}
 
-// states: n * t * 4 limbs, Montgomery; permuted in place
-void cpm_poseidon_permute(const PoseidonCtx* pc, u64* states, long n) {
-  for (long i = 0; i < n; ++i) permute_one(pc, states + (size_t)i * pc->t * 4);
+// states: n * t * nl limbs, Montgomery; permuted in place
+void cpm_poseidon_permute(const void* h, u64* states, long n) {
+  auto* pa = (const PoseidonAny*)h;
+  if (pa->nl == 4) {
+    auto* pc = (const PoseidonCtxT<4>*)pa->ctx;
+    for (long i = 0; i < n; ++i)
+      permute_one<4>(pc, states + (size_t)i * pc->t * 4);
+  } else {
+    auto* pc = (const PoseidonCtxT<6>*)pa->ctx;
+    for (long i = 0; i < n; ++i)
+      permute_one<6>(pc, states + (size_t)i * pc->t * 6);
+  }
 }
 
 // two-to-one compression: capacity-1 duplex absorb(l), absorb(r), squeeze(1)
 // == state [0, l, r] permuted once, output element 1 (rate>=2 configs).
-void cpm_poseidon_two_to_one(const PoseidonCtx* pc, const u64* left,
-                             const u64* right, u64* out, long n) {
-  int t = pc->t;
-  std::vector<u64> state((size_t)t * 4);
-  for (long i = 0; i < n; ++i) {
-    std::memset(state.data(), 0, (size_t)t * 32);
-    std::memcpy(&state[4], left + i * 4, 32);
-    std::memcpy(&state[8], right + i * 4, 32);
-    permute_one(pc, state.data());
-    std::memcpy(out + i * 4, &state[4], 32);
-  }
+void cpm_poseidon_two_to_one(const void* h, const u64* left, const u64* right,
+                             u64* out, long n) {
+  auto* pa = (const PoseidonAny*)h;
+  if (pa->nl == 4)
+    poseidon_two_to_one_t<4>((const PoseidonCtxT<4>*)pa->ctx, left, right,
+                             out, n);
+  else
+    poseidon_two_to_one_t<6>((const PoseidonCtxT<6>*)pa->ctx, left, right,
+                             out, n);
 }
 
-// dense Merkle build over field digests: leaves n*4 -> nodes (n-1)*4 in
+// dense Merkle build over field digests: leaves n*nl -> nodes (n-1)*nl in
 // level order (root first), mirroring merkle_tree/mod.rs layout.
-void cpm_merkle_build(const PoseidonCtx* pc, const u64* leaves, long n,
-                      u64* non_leaf) {
-  // bottom non-leaf layer occupies indices [n/2 - 1, n - 1)
-  long level = n / 2;
-  long start = level - 1;
-  {
-    std::vector<u64> l((size_t)level * 4), r((size_t)level * 4);
-    for (long i = 0; i < level; ++i) {
-      std::memcpy(&l[i * 4], leaves + (2 * i) * 4, 32);
-      std::memcpy(&r[i * 4], leaves + (2 * i + 1) * 4, 32);
-    }
-    cpm_poseidon_two_to_one(pc, l.data(), r.data(), non_leaf + start * 4, level);
-  }
-  while (level > 1) {
-    long prev_start = start;
-    level /= 2;
-    start = level - 1;
-    std::vector<u64> l((size_t)level * 4), r((size_t)level * 4);
-    for (long i = 0; i < level; ++i) {
-      std::memcpy(&l[i * 4], non_leaf + (prev_start + 2 * i) * 4, 32);
-      std::memcpy(&r[i * 4], non_leaf + (prev_start + 2 * i + 1) * 4, 32);
-    }
-    cpm_poseidon_two_to_one(pc, l.data(), r.data(), non_leaf + start * 4, level);
-  }
+void cpm_merkle_build(const void* h, const u64* leaves, long n, u64* non_leaf) {
+  auto* pa = (const PoseidonAny*)h;
+  if (pa->nl == 4)
+    merkle_build_t<4>((const PoseidonCtxT<4>*)pa->ctx, leaves, n, non_leaf);
+  else
+    merkle_build_t<6>((const PoseidonCtxT<6>*)pa->ctx, leaves, n, non_leaf);
 }
 
 }  // extern "C"

@@ -37,6 +37,54 @@ def test_native_poseidon_permute(rng):
         assert g == oracle.state
 
 
+def test_native_poseidon_48byte_field_three_way(rng):
+    """Round-4 verdict task 5: the compiled tier is no longer 32-byte
+    only — Poseidon over the 381-bit BLS12-381 base field runs the
+    6-limb template, three-way checked (C++ == python-int oracle ==
+    XLA limb permute) plus the dense Merkle build vs a host recompute."""
+    import jax.numpy as jnp
+
+    from crypto_primitives_tpu.models.sponge.poseidon import (
+        PoseidonConfig,
+        find_poseidon_ark_and_mds,
+        permute as xla_permute,
+    )
+    from crypto_primitives_tpu.ops.fields_known import BLS12_381_FQ as FQ
+
+    ark, mds = find_poseidon_ark_and_mds(FQ, 2, 8, 60, 0)
+    cfg = PoseidonConfig(
+        field=FQ, full_rounds=8, partial_rounds=60, alpha=5,
+        ark=ark, mds=mds, rate=2, capacity=1,
+    )
+    eng = native.poseidon_engine(cfg)
+    assert eng is not None, "48-byte native tier missing"
+    states = [[rng.randrange(FQ.p) for _ in range(3)] for _ in range(3)]
+    got = eng.permute(states)
+    # python-int oracle
+    for st, g in zip(states, got):
+        oracle = PoseidonSponge(cfg)
+        oracle.state = list(st)
+        oracle._permute_python()
+        assert g == oracle.state
+    # XLA limb path
+    dev = jnp.asarray(FQ.pack(np.asarray(states, dtype=object)))
+    exp = FQ.unpack(np.asarray(xla_permute(FQ, cfg.packed(), dev)))
+    assert got == [[int(v) for v in row] for row in exp]
+    # dense Merkle build vs host compress recompute
+    leaves = [rng.randrange(FQ.p) for _ in range(8)]
+    nodes = eng.merkle_non_leaf(leaves)
+
+    def compress(l, r):
+        o = PoseidonSponge(cfg)
+        o.state = [0, l % FQ.p, r % FQ.p]
+        o._permute_python()
+        return o.state[1]
+
+    lvl = [compress(leaves[2 * i], leaves[2 * i + 1]) for i in range(4)]
+    top = [compress(lvl[0], lvl[1]), compress(lvl[2], lvl[3])]
+    assert nodes == [compress(top[0], top[1])] + top + lvl
+
+
 def test_native_te_curve_three_way(rng, monkeypatch):
     """python-int vs C++ vs device on TE curve ops (VERDICT r3 task 2's
     three-way cross-model gate)."""
