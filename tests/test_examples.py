@@ -19,6 +19,7 @@ _EX = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), 
         "merkle_membership.py",
         "sign_encrypt_commit.py",
         "sumcheck_protocol.py",
+        "ipa_folding.py",
     ],
 )
 def test_example_runs(script):
