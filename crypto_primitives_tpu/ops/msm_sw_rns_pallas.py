@@ -45,9 +45,10 @@ from crypto_primitives_tpu.ops.rns import DELTA1, DELTA2, DIGIT
 
 DEFAULT_BLOCK = 512
 
-# Value-bound budget for the fast (no-renormalize) discipline: the widest
-# product is t1p(12) * t4p(9) = 108 (see the bound ledger in the kernel).
-FAST_BOUND_BUDGET = 108
+# Value-bound budget for the fast (no-renormalize) discipline: tree adds
+# take BOTH operands at bound 6, so round-1 products peak at 12*12 = 144
+# (see the ledger in add_pts).
+FAST_BOUND_BUDGET = 144
 
 
 def _plain_rows(plan: rns.RNSPlan, v: int, p: int) -> np.ndarray:
@@ -156,7 +157,13 @@ def _sw_msm_consts(plan: rns.RNSPlan, curve):
     )
 
 
-def _make_sw_msm_kernel(plan: rns.RNSPlan, G: int, w: int):
+def _make_sw_msm_kernel(plan: rns.RNSPlan, Gc: int, w: int, C: int):
+    """Kernel over Gc chunks of C groups each: one one-hot select matmul
+    per chunk, then a log2(C)-deep pairwise tree of complete RCB
+    additions plus one accumulator add — the dependent-add chain shrinks
+    from G to ~G*(log2(C)+1)/C steps (the in-VMEM shape of the XLA
+    path's sw_sum_rns log-tree), which is what the serial one-group-per-
+    iteration form was latency-bound on."""
     f32 = jnp.float32
     K = plan.k
     mid_red = plan.mid_red
@@ -207,112 +214,134 @@ def _make_sw_msm_kernel(plan: rns.RNSPlan, G: int, w: int):
         def mont_mul(a, b):
             return mont_reduce(red(a * b, inv_all, m_all))
 
+        def add_pts(P1, P2):
+            """Complete RCB addition of coordinate-major point blocks
+            (2K, 3W): sw_add_rns op order.  Value-bound ledger (units of
+            p): fast discipline runs every stored point at bound <= 6
+            (round-1 products peak at 12*12 = 144 <= M1//p, asserted by
+            FAST_BOUND_BUDGET); the legacy discipline renormalizes cross
+            terms and outputs exactly like sw_add_rns, keeping points at
+            bound 3 and products <= 36."""
+            W = P1.shape[1] // 3
+            X1, Y1, Z1 = P1[:, :W], P1[:, W : 2 * W], P1[:, 2 * W :]
+            X2, Y2, Z2 = P2[:, :W], P2[:, W : 2 * W], P2[:, 2 * W :]
+            one_w = jnp.broadcast_to(one_col, (2 * K, W))
+            abc = jnp.concatenate(
+                [
+                    jnp.broadcast_to(a_col, (2 * K, W)),
+                    jnp.broadcast_to(b3_col, (2 * K, W)),
+                    jnp.broadcast_to(a_col, (2 * K, W)),
+                    jnp.broadcast_to(b3_col, (2 * K, W)),
+                    jnp.broadcast_to(a_col, (2 * K, W)),
+                    jnp.broadcast_to(a2_col, (2 * K, W)),
+                ],
+                axis=1,
+            )
+            sx1 = red(X1 + Y1, inv_all, m_all)
+            sy1 = red(Y1 + Z1, inv_all, m_all)
+            sz1 = red(X1 + Z1, inv_all, m_all)
+            sx2 = red(X2 + Y2, inv_all, m_all)
+            sy2 = red(Y2 + Z2, inv_all, m_all)
+            sz2 = red(X2 + Z2, inv_all, m_all)
+            lhs = jnp.concatenate([X1, Y1, Z1, sx1, sz1, sy1], axis=1)
+            rhs = jnp.concatenate([X2, Y2, Z2, sx2, sz2, sy2], axis=1)
+            r1v = mont_mul(lhs, rhs)
+            m0 = r1v[:, :W]
+            m1v = r1v[:, W : 2 * W]
+            m2v = r1v[:, 2 * W : 3 * W]
+            A = r1v[:, 3 * W : 4 * W]
+            Bv = r1v[:, 4 * W : 5 * W]
+            C6 = r1v[:, 5 * W :]
+            s_xy = red(A + (off3 - m0) + (off3 - m1v), inv_all, m_all)
+            s_xz = red(Bv + (off3 - m0) + (off3 - m2v), inv_all, m_all)
+            s_yz = red(C6 + (off3 - m1v) + (off3 - m2v), inv_all, m_all)
+            cvars = jnp.concatenate([s_xz, m2v, m2v, s_xz, m0, m2v], axis=1)
+            r2v = mont_mul(cvars, abc)
+            a_sxz = r2v[:, :W]
+            b3_m2 = r2v[:, W : 2 * W]
+            a_m2 = r2v[:, 2 * W : 3 * W]
+            b3_sxz = r2v[:, 3 * W : 4 * W]
+            a_m0 = r2v[:, 4 * W : 5 * W]
+            a2_m2 = r2v[:, 5 * W :]
+            Zp = red(b3_m2 + a_sxz, inv_all, m_all)  # 6
+            U = red(m1v + (off6 - Zp), inv_all, m_all)  # 9
+            V = red(m1v + Zp, inv_all, m_all)  # 9
+            t1p = red(m0 + m0 + m0 + a_m2, inv_all, m_all)  # 12
+            t4p = red(b3_sxz + a_m0 + (off3 - a2_m2), inv_all, m_all)  # 9
+            if not fast:
+                cross = jnp.concatenate([U, t1p, V, t4p], axis=1)
+                ones4 = jnp.concatenate([one_w] * 4, axis=1)
+                crn = mont_mul(cross, ones4)  # 12*1
+                U = crn[:, :W]
+                t1p = crn[:, W : 2 * W]
+                V = crn[:, 2 * W : 3 * W]
+                t4p = crn[:, 3 * W :]
+            lhs3 = jnp.concatenate([U, t1p, s_xy, s_yz, s_yz, s_xy], axis=1)
+            rhs3 = jnp.concatenate([V, t4p, U, t4p, V, t1p], axis=1)
+            r3v = mont_mul(lhs3, rhs3)
+            Y3 = red(r3v[:, :W] + r3v[:, W : 2 * W], inv_all, m_all)
+            X3 = red(
+                r3v[:, 2 * W : 3 * W] + (off3 - r3v[:, 3 * W : 4 * W]),
+                inv_all,
+                m_all,
+            )
+            Z3 = red(r3v[:, 4 * W : 5 * W] + r3v[:, 5 * W :], inv_all, m_all)
+            outp = jnp.concatenate([X3, Y3, Z3], axis=1)
+            if not fast:
+                ones3 = jnp.concatenate([one_w] * 3, axis=1)
+                outp = mont_mul(outp, ones3)
+            return outp
+
         B3 = out_ref.shape[1]
         B = B3 // 3
         zero = jnp.zeros((2 * K, B), f32)
         one_b = jnp.broadcast_to(one_col, (2 * K, B))
         acc0 = jnp.concatenate([zero, one_b, zero], axis=1)  # (0 : 1 : 0)
 
-        # one-hot row map: row r = c*EW + e selects coordinate c, window
-        # value e; lane l = c*B + b
-        RR = 3 * EW
-        rows_e = jax.lax.broadcasted_iota(jnp.int32, (RR, 3 * B), 0) % EW
-        rows_c = jax.lax.broadcasted_iota(jnp.int32, (RR, 3 * B), 0) // EW
-        lane_c = jax.lax.broadcasted_iota(jnp.int32, (RR, 3 * B), 1) // B
+        # chunked one-hot over C groups: row r = u*(3EW) + c*EW + e (the
+        # chunked combos column order); lane l = c*(C*B) + u*B + b
+        RR = C * 3 * EW
+        CL = 3 * C * B
+        r_iota = jax.lax.broadcasted_iota(jnp.int32, (RR, CL), 0)
+        l_iota = jax.lax.broadcasted_iota(jnp.int32, (RR, CL), 1)
+        rows_u = r_iota // (3 * EW)
+        rows_c = (r_iota % (3 * EW)) // EW
+        rows_e = r_iota % EW
+        lane_c = l_iota // (C * B)
+        lane_u = (l_iota % (C * B)) // B
 
-        abc = jnp.concatenate(
-            [
-                jnp.broadcast_to(a_col, (2 * K, B)),
-                jnp.broadcast_to(b3_col, (2 * K, B)),
-                jnp.broadcast_to(a_col, (2 * K, B)),
-                jnp.broadcast_to(b3_col, (2 * K, B)),
-                jnp.broadcast_to(a_col, (2 * K, B)),
-                jnp.broadcast_to(a2_col, (2 * K, B)),
-            ],
-            axis=1,
-        )  # round-2 constant row [a, 3b, a, 3b, a, a^2]
-
-        def body(i, acc):
-            idx1 = idx_ref[pl.ds(i, 1), :]  # (1, B)
-            idx3 = jnp.concatenate([idx1] * 3, axis=1)  # (1, 3B)
-            cg = combos_ref[i]  # (4K, 3*EW) digit planes
+        def body(cc, acc):
+            # idx lanes matching l = c*(C*B) + u*B + b
+            idx_u = [idx_ref[pl.ds(cc * C + u, 1), :] for u in range(C)]
+            idx_cb = jnp.concatenate(idx_u, axis=1)  # (1, C*B)
+            idx_l = jnp.concatenate([idx_cb] * 3, axis=1)  # (1, CL)
+            cg = combos_ref[cc]  # (4K, C*3*EW) digit planes
             onehot = jnp.where(
-                (rows_e == idx3) & (rows_c == lane_c), f32(1.0), f32(0.0)
+                (rows_e == idx_l) & (rows_c == lane_c) & (rows_u == lane_u),
+                f32(1.0),
+                f32(0.0),
             )
             so = jax.lax.dot(cg, onehot, preferred_element_type=f32)
-            sel = so[: 2 * K] + so[2 * K :]  # (2K, 3B) standard residues
-            # --- complete RCB addition, sw_add_rns op order.  Value-bound
-            # ledger (units of p): acc coords <= BA (3 normalized / 6
-            # fast), sel coords <= 1.
-            X1, Y1, Z1 = acc[:, :B], acc[:, B : 2 * B], acc[:, 2 * B :]
-            X2, Y2, Z2 = sel[:, :B], sel[:, B : 2 * B], sel[:, 2 * B :]
-            sx1 = red(X1 + Y1, inv_all, m_all)  # 2*BA
-            sy1 = red(Y1 + Z1, inv_all, m_all)
-            sz1 = red(X1 + Z1, inv_all, m_all)
-            sx2 = red(X2 + Y2, inv_all, m_all)  # 2
-            sy2 = red(Y2 + Z2, inv_all, m_all)
-            sz2 = red(X2 + Z2, inv_all, m_all)
-            lhs = jnp.concatenate([X1, Y1, Z1, sx1, sz1, sy1], axis=1)
-            rhs = jnp.concatenate([X2, Y2, Z2, sx2, sz2, sy2], axis=1)
-            r1v = mont_mul(lhs, rhs)  # max (2*BA)*2 <= 24 <= M1//p
-            m0 = r1v[:, :B]
-            m1v = r1v[:, B : 2 * B]
-            m2v = r1v[:, 2 * B : 3 * B]
-            A = r1v[:, 3 * B : 4 * B]
-            Bv = r1v[:, 4 * B : 5 * B]
-            C = r1v[:, 5 * B :]
-            # cross sums, bound 9 (3+3+3); sub offsets keep values >= 0
-            s_xy = red(A + (off3 - m0) + (off3 - m1v), inv_all, m_all)
-            s_xz = red(Bv + (off3 - m0) + (off3 - m2v), inv_all, m_all)
-            s_yz = red(C + (off3 - m1v) + (off3 - m2v), inv_all, m_all)
-            cvars = jnp.concatenate(
-                [s_xz, m2v, m2v, s_xz, m0, m2v], axis=1
-            )
-            r2v = mont_mul(cvars, abc)  # 9*1
-            a_sxz = r2v[:, :B]
-            b3_m2 = r2v[:, B : 2 * B]
-            a_m2 = r2v[:, 2 * B : 3 * B]
-            b3_sxz = r2v[:, 3 * B : 4 * B]
-            a_m0 = r2v[:, 4 * B : 5 * B]
-            a2_m2 = r2v[:, 5 * B :]
-            Zp = red(b3_m2 + a_sxz, inv_all, m_all)  # 6
-            U = red(m1v + (off6 - Zp), inv_all, m_all)  # 9
-            V = red(m1v + Zp, inv_all, m_all)  # 9
-            t1p = red(m0 + m0 + m0 + a_m2, inv_all, m_all)  # 12
-            t4p = red(
-                b3_sxz + a_m0 + (off3 - a2_m2), inv_all, m_all
-            )  # 9
-            if not fast:
-                # legacy discipline: renormalize the four cross terms so
-                # round 3 stays inside M1//p = 55 (sw_add_rns:140-144)
-                cross = jnp.concatenate([U, t1p, V, t4p], axis=1)
-                ones4 = jnp.concatenate([one_b] * 4, axis=1)
-                crn = mont_mul(cross, ones4)  # 12*1
-                U = crn[:, :B]
-                t1p = crn[:, B : 2 * B]
-                V = crn[:, 2 * B : 3 * B]
-                t4p = crn[:, 3 * B :]
-            # round 3: fast max t1p(12)*t4p(9) = 108; legacy max 9*3 = 27
-            lhs3 = jnp.concatenate([U, t1p, s_xy, s_yz, s_yz, s_xy], axis=1)
-            rhs3 = jnp.concatenate([V, t4p, U, t4p, V, t1p], axis=1)
-            r3v = mont_mul(lhs3, rhs3)
-            Y3 = red(r3v[:, :B] + r3v[:, B : 2 * B], inv_all, m_all)  # 6
-            X3 = red(
-                r3v[:, 2 * B : 3 * B] + (off3 - r3v[:, 3 * B : 4 * B]),
-                inv_all,
-                m_all,
-            )  # 6
-            Z3 = red(
-                r3v[:, 4 * B : 5 * B] + r3v[:, 5 * B :], inv_all, m_all
-            )  # 6
-            outp = jnp.concatenate([X3, Y3, Z3], axis=1)
-            if not fast:
-                # output renormalize -> bound 3 (sw_add_rns:151-153)
-                ones3 = jnp.concatenate([one_b] * 3, axis=1)
-                outp = mont_mul(outp, ones3)
-            return outp
+            S = so[: 2 * K] + so[2 * K :]  # (2K, 3CB) standard residues
+            n_pts = C
+            while n_pts > 1:
+                half = n_pts // 2
+                cb = n_pts * B
+                hw = half * B
+                X = S[:, :cb]
+                Y = S[:, cb : 2 * cb]
+                Z = S[:, 2 * cb :]
+                P1 = jnp.concatenate(
+                    [X[:, :hw], Y[:, :hw], Z[:, :hw]], axis=1
+                )
+                P2 = jnp.concatenate(
+                    [X[:, hw:], Y[:, hw:], Z[:, hw:]], axis=1
+                )
+                S = add_pts(P1, P2)
+                n_pts = half
+            return add_pts(acc, S)
 
-        acc = jax.lax.fori_loop(0, G, body, acc0)
+        acc = jax.lax.fori_loop(0, Gc, body, acc0)
         # final renormalize: the returned points carry bound <= 3 in both
         # disciplines (interchangeable with the XLA path's BOUND)
         ones3 = jnp.concatenate([one_b] * 3, axis=1)
@@ -322,11 +351,14 @@ def _make_sw_msm_kernel(plan: rns.RNSPlan, G: int, w: int):
 
 
 @functools.lru_cache(maxsize=32)
-def _build_sw_grouped_msm(curve, G: int, w: int, block_b: int, interpret: bool):
+def _build_sw_grouped_msm(curve, G: int, w: int, block_b: int,
+                          interpret: bool, chunk: int):
     plan = rns.build_plan(curve.base.p)
     K = plan.k
+    EW = 1 << w
+    Gc = G // chunk
     vec, e1w, e2w = _sw_msm_consts(plan, curve)
-    kernel = _make_sw_msm_kernel(plan, G, w)
+    kernel = _make_sw_msm_kernel(plan, Gc, w, chunk)
 
     @jax.jit
     def run(combos, idx):
@@ -339,6 +371,11 @@ def _build_sw_grouped_msm(curve, G: int, w: int, block_b: int, interpret: bool):
             )
         Bp = B + pad
         idx_t = idx.T  # (G, Bp)
+        # chunk the table: (Gc, 4K, chunk*3EW), column u*(3EW) + c*EW + e
+        cc = combos.reshape(Gc, chunk, 4 * K, 3 * EW)
+        cc = jnp.transpose(cc, (0, 2, 1, 3)).reshape(
+            Gc, 4 * K, chunk * 3 * EW
+        )
 
         def full_spec(arr):
             return pl.BlockSpec(
@@ -349,7 +386,7 @@ def _build_sw_grouped_msm(curve, G: int, w: int, block_b: int, interpret: bool):
             kernel,
             grid=(Bp // block_b,),
             in_specs=[
-                full_spec(combos),
+                full_spec(cc),
                 full_spec(e1w),
                 full_spec(e2w),
                 full_spec(vec),
@@ -367,13 +404,20 @@ def _build_sw_grouped_msm(curve, G: int, w: int, block_b: int, interpret: bool):
                 dimension_semantics=("parallel",),
             ),
             interpret=interpret,
-        )(combos, jnp.asarray(e1w), jnp.asarray(e2w), jnp.asarray(vec), idx_t)
+        )(cc, jnp.asarray(e1w), jnp.asarray(e2w), jnp.asarray(vec), idx_t)
         nb = Bp // block_b
         o = out.reshape(2 * K, nb, 3, block_b)
         o = jnp.moveaxis(o, 0, -1)  # (nb, 3, block_b, 2K)
         return o.transpose(0, 2, 1, 3).reshape(Bp, 3, 2 * K)[:B]
 
     return run
+
+
+@functools.lru_cache(maxsize=16)
+def _identity_group_sw(curve, w: int) -> np.ndarray:
+    """One all-identity combo group (pads G up to a multiple of the
+    chunk width; adding the identity is exact under the complete law)."""
+    return pack_combos_sw_from_subsets(curve, [[None] * (1 << w)])[0]
 
 
 def grouped_msm_sw_pallas(
@@ -383,29 +427,43 @@ def grouped_msm_sw_pallas(
     w: int,
     block_b: int = DEFAULT_BLOCK,
     interpret: bool = False,
+    chunk: int = 8,
 ) -> jnp.ndarray:
     """sum_j bits[..., j] * table[j] over a pack_combos_sw_kernel table.
 
     bits (..., N) uint8 (zero-padded to G*w internally); returns
     projective points (..., 3, 2K) in the standard convention (value
     bound 3) — interchangeable with sw_conditional_sum_grouped_rns
-    output."""
+    output.  chunk: groups tree-summed per kernel iteration (see
+    _make_sw_msm_kernel); G is identity-padded up to a multiple."""
     G = combos.shape[0]
     batch = bits.shape[:-1]
     n = bits.shape[-1]
     flatb = bits.reshape(-1, n)
     blockb = min(block_b, max(8, flatb.shape[0]))
-    if n < G * w:
+    Gp = -(-G // chunk) * chunk
+    if Gp > G:
+        combos = jnp.concatenate(
+            [
+                combos,
+                jnp.broadcast_to(
+                    jnp.asarray(_identity_group_sw(curve, w)),
+                    (Gp - G,) + combos.shape[1:],
+                ),
+            ],
+            axis=0,
+        )
+    if n < Gp * w:
         flatb = jnp.concatenate(
-            [flatb, jnp.zeros((flatb.shape[0], G * w - n), flatb.dtype)],
+            [flatb, jnp.zeros((flatb.shape[0], Gp * w - n), flatb.dtype)],
             axis=-1,
         )
     weights = jnp.asarray([1 << i for i in range(w)], jnp.int32)
     idx = jnp.sum(
-        flatb.reshape(flatb.shape[0], G, w).astype(jnp.int32) * weights,
+        flatb.reshape(flatb.shape[0], Gp, w).astype(jnp.int32) * weights,
         axis=-1,
     )
-    run = _build_sw_grouped_msm(curve, G, w, blockb, interpret)
+    run = _build_sw_grouped_msm(curve, Gp, w, blockb, interpret, chunk)
     out = run(combos, idx)
     k = rns.build_plan(curve.base.p).k
     return out.reshape(batch + (3, 2 * k))
