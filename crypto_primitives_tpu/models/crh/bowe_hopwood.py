@@ -95,6 +95,15 @@ class BoweHopwoodParameters:
         return id(self)
 
 
+@functools.lru_cache(maxsize=32)
+def _device_signed_table(params, n_real: int, kernel: bool):
+    """Device-resident signed-digit table (curve_rns._device_table twin:
+    jnp.asarray of a cached numpy table re-uploads ~MBs per call)."""
+    if kernel:
+        return jnp.asarray(params.packed_signed_grouped_kernel(n_real))
+    return jnp.asarray(params.packed_signed_grouped_rns(n_real))
+
+
 def max_chunks_per_segment(scalar_p: int) -> int:
     """calculate_num_chunks_in_segment (mod.rs:82-92)."""
     upper_limit = (scalar_p - 1) // 2
@@ -184,14 +193,14 @@ class BoweHopwoodCRH:
 
                 acc = mk.grouped_msm_pallas(
                     self.curve,
-                    jnp.asarray(params.packed_signed_grouped_kernel(n_real)),
+                    _device_signed_table(params, n_real, True),
                     flat_bits,
                     CHUNK_SIZE,
                 )
             else:
                 acc = cr.te_conditional_sum_grouped_rns(
                     self.curve,
-                    jnp.asarray(params.packed_signed_grouped_rns(n_real)),
+                    _device_signed_table(params, n_real, False),
                     flat_bits,
                     CHUNK_SIZE,
                 )

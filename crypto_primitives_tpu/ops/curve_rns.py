@@ -327,6 +327,19 @@ def _probe_kernel(curve) -> bool:
         return False
 
 
+
+@functools.lru_cache(maxsize=32)
+def _device_table(params_like, w: int, kernel: bool):
+    """Device-resident grouped table cache.  jnp.asarray of a (cached)
+    NUMPY table re-uploads it on every call — ~8 MB through the tunnel
+    dominated every whole-call MSM row (measured B-independent ~108 ms
+    per Pedersen evaluate at window 250x8, round 5); the jax.Array here
+    uploads once per (params, w, layout) and lives in HBM."""
+    if kernel:
+        return jnp.asarray(params_like.packed_grouped_kernel(w))
+    return jnp.asarray(params_like.packed_grouped_rns(w))
+
+
 def conditional_sum_grouped_auto(curve, params_like, bits, w: int):
     """Dispatch the grouped conditional sum: fused Pallas kernel on TPU
     (ops/msm_rns_pallas.py), XLA grouped path elsewhere.  params_like must
@@ -335,10 +348,10 @@ def conditional_sum_grouped_auto(curve, params_like, bits, w: int):
         from crypto_primitives_tpu.ops import msm_rns_pallas as mk
 
         return mk.grouped_msm_pallas(
-            curve, jnp.asarray(params_like.packed_grouped_kernel(w)), bits, w
+            curve, _device_table(params_like, w, True), bits, w
         )
     return te_conditional_sum_grouped_rns(
-        curve, jnp.asarray(params_like.packed_grouped_rns(w)), bits, w
+        curve, _device_table(params_like, w, False), bits, w
     )
 
 
@@ -403,6 +416,14 @@ def fixed_base_grouped_table(curve, pt: tuple, nbits: int, w: int = 3) -> np.nda
     )
 
 
+@functools.lru_cache(maxsize=64)
+def _device_fixed_base(curve, pt: tuple, nbits: int, w: int, kernel: bool):
+    """Device-resident fixed-base table cache (see _device_table)."""
+    if kernel:
+        return jnp.asarray(fixed_base_kernel_table(curve, pt, nbits, w))
+    return jnp.asarray(fixed_base_grouped_table(curve, pt, nbits, w))
+
+
 def te_fixed_base_mul_rns(
     curve, pt: tuple, bits: jnp.ndarray, w: int = 3
 ) -> jnp.ndarray:
@@ -413,10 +434,10 @@ def te_fixed_base_mul_rns(
     if grouped_kernel_ok(curve):
         from crypto_primitives_tpu.ops import msm_rns_pallas as mk
 
-        table = fixed_base_kernel_table(curve, tuple(pt), nbits, w)
-        return mk.grouped_msm_pallas(curve, jnp.asarray(table), bits, w)
-    table = fixed_base_grouped_table(curve, tuple(pt), nbits, w)
-    return te_conditional_sum_grouped_rns(curve, jnp.asarray(table), bits, w)
+        table = _device_fixed_base(curve, tuple(pt), nbits, w, True)
+        return mk.grouped_msm_pallas(curve, table, bits, w)
+    table = _device_fixed_base(curve, tuple(pt), nbits, w, False)
+    return te_conditional_sum_grouped_rns(curve, table, bits, w)
 
 
 @functools.partial(jax.jit, static_argnums=(0,))
@@ -551,12 +572,7 @@ def msm_many(curve, params_list, bits_list, w: int = 3):
     Returns the N outputs (same layout as conditional_sum_grouped_auto).
     Retraces only when the shape tuple changes (jax.jit cache)."""
     use_kernel = grouped_kernel_ok(curve)
-    tables = tuple(
-        jnp.asarray(
-            p.packed_grouped_kernel(w) if use_kernel else p.packed_grouped_rns(w)
-        )
-        for p in params_list
-    )
+    tables = tuple(_device_table(p, w, use_kernel) for p in params_list)
     run = _many_runner(curve, w, use_kernel)
     return list(run(tables, tuple(jnp.asarray(b) for b in bits_list)))
 

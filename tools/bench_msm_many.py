@@ -62,24 +62,36 @@ def main():
             best = min(best, time.perf_counter() - t0)
         return best
 
-    def singles():
+    def singles_pipelined():
+        # best case for per-call dispatch: nothing synchronizes until the
+        # end, so the runtime pipelines the N submissions
         res = [crh.evaluate_batch_rns(params, x) for x in inputs]
         np.asarray(res[-1])  # sync
+
+    def singles_synced():
+        # the per-op consumer pattern (each result consumed before the
+        # next call): every job pays a full submit+compute+fetch round
+        # trip through the tunnel
+        for x in inputs:
+            np.asarray(crh.evaluate_batch_rns(params, x))
 
     def many():
         res = crh.evaluate_batch_rns_many([params] * n_jobs, inputs)
         np.asarray(res[-1])
 
-    t_single = timed(singles)
+    singles_synced()  # warm the fetch path
+    t_single = timed(singles_pipelined)
+    t_synced = timed(singles_synced)
     t_many = timed(many)
     # value parity spot check
     a = mod.unpack_affine_rns(curve, np.asarray(crh.evaluate_batch_rns(params, inputs[0])))
     b = mod.unpack_affine_rns(curve, np.asarray(crh.evaluate_batch_rns_many([params], [inputs[0]])[0]))
     assert list(a) == list(b)
     print(f"backend={jax.default_backend()} jobs={n_jobs} B={B}")
-    print(f"single-call loop : {t_single*1e3:9.2f} ms  ({t_single/n_jobs*1e3:6.2f} ms/job)")
-    print(f"msm_many         : {t_many*1e3:9.2f} ms  ({t_many/n_jobs*1e3:6.2f} ms/job)")
-    print(f"speedup          : {t_single/t_many:6.2f}x")
+    print(f"single calls, pipelined (sync at end) : {t_single*1e3:9.2f} ms  ({t_single/n_jobs*1e3:6.2f} ms/job)")
+    print(f"single calls, sync per result         : {t_synced*1e3:9.2f} ms  ({t_synced/n_jobs*1e3:6.2f} ms/job)")
+    print(f"msm_many (one program)                : {t_many*1e3:9.2f} ms  ({t_many/n_jobs*1e3:6.2f} ms/job)")
+    print(f"speedup vs pipelined / vs synced      : {t_single/t_many:5.2f}x / {t_synced/t_many:5.2f}x")
 
 
 if __name__ == "__main__":
