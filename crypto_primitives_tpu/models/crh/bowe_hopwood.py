@@ -96,12 +96,26 @@ class BoweHopwoodParameters:
 
 
 @functools.lru_cache(maxsize=32)
-def _device_signed_table(params, n_real: int, kernel: bool):
-    """Device-resident signed-digit table (curve_rns._device_table twin:
-    jnp.asarray of a cached numpy table re-uploads ~MBs per call)."""
+def _device_signed_table_cached(params, n_real: int, kernel: bool):
     if kernel:
         return jnp.asarray(params.packed_signed_grouped_kernel(n_real))
     return jnp.asarray(params.packed_signed_grouped_rns(n_real))
+
+
+def _device_signed_table(params, n_real: int, kernel: bool):
+    """Device-resident signed-digit table (curve_rns._device_table twin:
+    jnp.asarray of a cached numpy table re-uploads ~MBs per call; the
+    cache is bypassed under an active trace to avoid leaking tracers)."""
+    from jax._src import core as _core
+
+    if not _core.trace_state_clean():
+        tab = (
+            params.packed_signed_grouped_kernel(n_real)
+            if kernel
+            else params.packed_signed_grouped_rns(n_real)
+        )
+        return jnp.asarray(tab)
+    return _device_signed_table_cached(params, n_real, kernel)
 
 
 def max_chunks_per_segment(scalar_p: int) -> int:

@@ -299,15 +299,31 @@ def pack_combos_kernel(curve, pts, w: int = 3) -> np.ndarray:
 
 
 @functools.lru_cache(maxsize=32)
+def _device_table_cached(params_like, w: int, kernel: bool):
+    if kernel:
+        return jnp.asarray(params_like.packed_grouped_kernel(w))
+    return jnp.asarray(params_like.packed_grouped_rns(w))
+
+
 def _device_table(params_like, w: int, kernel: bool):
     """Device-resident grouped table cache.  jnp.asarray of a (cached)
     NUMPY table re-uploads it on every call — ~8 MB through the tunnel
     dominated every whole-call MSM row (measured B-independent ~108 ms
     per Pedersen evaluate at window 250x8, round 5); the jax.Array here
-    uploads once per (params, w, layout) and lives in HBM."""
-    if kernel:
-        return jnp.asarray(params_like.packed_grouped_kernel(w))
-    return jnp.asarray(params_like.packed_grouped_rns(w))
+    uploads once per (params, w, layout) and lives in HBM.  Under an
+    active trace (jit/shard_map body) the cache is BYPASSED — caching a
+    traced constant would leak the tracer (the repo-wide trace-safe
+    caching rule) — and the table embeds as a constant like before."""
+    from jax._src import core as _core
+
+    if not _core.trace_state_clean():
+        tab = (
+            params_like.packed_grouped_kernel(w)
+            if kernel
+            else params_like.packed_grouped_rns(w)
+        )
+        return jnp.asarray(tab)
+    return _device_table_cached(params_like, w, kernel)
 
 
 def conditional_sum_grouped_auto(curve, params_like, bits, w: int):
@@ -382,11 +398,25 @@ def fixed_base_kernel_table(curve, pt: tuple, nbits: int, w: int = 3) -> np.ndar
 
 
 @functools.lru_cache(maxsize=64)
-def _device_fixed_base(curve, pt: tuple, nbits: int, w: int, kernel: bool):
-    """Device-resident fixed-base table cache (see _device_table)."""
+def _device_fixed_base_cached(curve, pt: tuple, nbits: int, w: int, kernel: bool):
     if kernel:
         return jnp.asarray(fixed_base_kernel_table(curve, pt, nbits, w))
     return jnp.asarray(fixed_base_grouped_table(curve, pt, nbits, w))
+
+
+def _device_fixed_base(curve, pt: tuple, nbits: int, w: int, kernel: bool):
+    """Device-resident fixed-base table cache (see _device_table; the
+    cache is bypassed under an active trace)."""
+    from jax._src import core as _core
+
+    if not _core.trace_state_clean():
+        tab = (
+            fixed_base_kernel_table(curve, pt, nbits, w)
+            if kernel
+            else fixed_base_grouped_table(curve, pt, nbits, w)
+        )
+        return jnp.asarray(tab)
+    return _device_fixed_base_cached(curve, pt, nbits, w, kernel)
 
 
 def sw_fixed_base_mul_rns(

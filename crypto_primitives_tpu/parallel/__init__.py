@@ -11,6 +11,7 @@ from crypto_primitives_tpu.parallel.merkle import sharded_merkle_root
 from crypto_primitives_tpu.parallel.msm import (
     sharded_fixed_base_msm,
     sharded_fixed_base_msm_rns,
+    sharded_fixed_base_msm_sw_rns,
 )
 from crypto_primitives_tpu.parallel.merkle_tree_sharded import (
     sharded_merkle_build_prove_all,

@@ -80,3 +80,40 @@ def sharded_fixed_base_msm_rns(
         check_vma=False,
     )
     return fn(table_rns, bits)
+
+
+def sharded_fixed_base_msm_sw_rns(
+    curve,
+    table_rns: jnp.ndarray,
+    bits: jnp.ndarray,
+    mesh: Mesh,
+    axis_name: str = "data",
+) -> jnp.ndarray:
+    """SW twin of :func:`sharded_fixed_base_msm_rns` (round 5): shard the
+    projective RNS table over the mesh, per-device partials via the
+    complete-RCB conditional sum, gather the D partial points and fold
+    with the log-depth complete-addition tree.
+
+    table_rns: (N, 3, 2K) residues (ops/curve_sw_rns.pack_points_rns);
+    returns replicated projective limb points (..., 3, L).  This is the
+    multi-chip shape for BLS12-381 G1 Pedersen/fixed-base workloads.
+    """
+    from crypto_primitives_tpu.ops import curve_sw_rns as sw
+
+    n_dev = mesh.shape[axis_name]
+    assert table_rns.shape[0] % n_dev == 0
+
+    def shard_fn(table_shard, bits_shard):
+        partial = sw.sw_conditional_sum_rns(curve, table_shard, bits_shard)
+        gathered = jax.lax.all_gather(partial, axis_name)  # (D, ..., 3, 2K)
+        acc = sw.sw_sum_rns(curve, jnp.moveaxis(gathered, 0, -3))
+        return sw.to_limb_points(curve, acc)
+
+    fn = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(axis_name), P(*([None] * (bits.ndim - 1) + [axis_name]))),
+        out_specs=P(),
+        check_vma=False,
+    )
+    return fn(table_rns, bits)

@@ -77,6 +77,36 @@ def test_sharded_msm_rns_matches_single_device(rng):
     assert list(single_aff) == list(sharded_aff)
 
 
+def test_sharded_msm_sw_rns_g1_matches_host(rng):
+    """Round 5: the SW/G1 tier on the multi-chip surface — projective RNS
+    table sharded over 8 devices, partials folded with the complete RCB
+    tree, bit-equal to the host oracle."""
+    from crypto_primitives_tpu.ops import curve_sw as csw
+    from crypto_primitives_tpu.ops import curve_sw_rns as sw
+    from crypto_primitives_tpu.ops.curves_known import BLS12_381_G1 as G1
+    from crypto_primitives_tpu.parallel import sharded_fixed_base_msm_sw_rns
+
+    n = 16
+    pts = [G1.rand_point(rng) for _ in range(n)]
+    table_rns = jnp.asarray(sw.pack_points_rns(G1, pts))
+    bits = np.asarray(
+        [[rng.randrange(2) for _ in range(n)] for _ in range(2)],
+        dtype=np.uint8,
+    )
+    mesh = make_mesh(8)
+    sharded = sharded_fixed_base_msm_sw_rns(
+        G1, table_rns, jnp.asarray(bits), mesh
+    )
+    aff = csw.sw_to_affine(G1, sharded)
+    vals = G1.base.unpack(np.asarray(aff))
+    for row in range(2):
+        exp = None
+        for j, p in enumerate(pts):
+            if bits[row, j]:
+                exp = p if exp is None else G1.add_host(exp, p)
+        assert (int(vals[row][0]), int(vals[row][1])) == exp, row
+
+
 def test_sharded_msm_4_devices(rng):
     n = 16
     pts = [JUBJUB.rand_point(rng) for _ in range(n)]

@@ -161,6 +161,39 @@ def test_big_plan_pallas_kernel_parity(rng):
 
 
 @pytest.mark.slow
+def test_big_field_poseidon_device_tree(rng):
+    """The device-resident Poseidon tree over the 381-bit field (the
+    generalized kernel end-to-end through a composite structure): root
+    bit-equal to the host compress recompute."""
+    from crypto_primitives_tpu.models.merkle_tree.device import (
+        poseidon_rns_device_tree,
+    )
+    from crypto_primitives_tpu.models.sponge.poseidon import PoseidonSponge
+    from crypto_primitives_tpu.ops.fields_known import BLS12_381_FQ as FQ
+
+    cfg = _fq_poseidon_config()
+    leaves = [rng.randrange(P) for _ in range(8)]
+    tree = poseidon_rns_device_tree(FQ, cfg, leaves)
+
+    def compress(l, r):
+        s = PoseidonSponge(cfg)
+        s.state = [0, l % P, r % P]
+        s.permute()
+        return s.state[1]
+
+    def leaf_hash(x):
+        s = PoseidonSponge(cfg)
+        s.state = [0, x % P, 0]
+        s.permute()
+        return s.state[1]
+
+    lvl = [leaf_hash(v) for v in leaves]
+    while len(lvl) > 1:
+        lvl = [compress(lvl[i], lvl[i + 1]) for i in range(0, len(lvl), 2)]
+    assert tree.root() == lvl[0]
+
+
+@pytest.mark.slow
 def test_big_field_sponge_rides_rns_tier(rng):
     """A PoseidonSpongeBatch over the 381-bit field selects the RNS rep
     (no more fall-through to the limb kernel) and its squeezes are
